@@ -1,0 +1,76 @@
+"""Batched small-matrix linear-algebra helpers.
+
+Parity surface: the reference's ``mpc/util.py`` (SURVEY.md §2.1 C1) — ``bmv``,
+``bger``, ``bquad``, ``eclamp``, ``bdiag`` and detach helpers. Under JAX most
+of these are one-line ``einsum``s that XLA fuses away; they exist as named
+functions so call sites read like the published algorithm and so the Pallas
+kernels can swap in behind the same contract.
+
+All functions broadcast over arbitrary leading batch dimensions.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def bmv(m: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Batched matrix-vector product: ``(..., i, j), (..., j) -> (..., i)``."""
+    return jnp.einsum("...ij,...j->...i", m, v)
+
+
+def bger(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Batched outer product: ``(..., i), (..., j) -> (..., i, j)``."""
+    return jnp.einsum("...i,...j->...ij", x, y)
+
+
+def bquad(x: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
+    """Batched quadratic form ``x' M x``: ``(..., i), (..., i, i) -> (...)``."""
+    return jnp.einsum("...i,...ij,...j->...", x, m, x)
+
+
+def bdot(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Batched inner product over the trailing dim."""
+    return jnp.einsum("...i,...i->...", x, y)
+
+
+def bdiag(d: jnp.ndarray) -> jnp.ndarray:
+    """Batched vector -> diagonal matrix: ``(..., i) -> (..., i, i)``."""
+    return d[..., None, :] * jnp.eye(d.shape[-1], dtype=d.dtype)
+
+
+def btrans(m: jnp.ndarray) -> jnp.ndarray:
+    """Batched matrix transpose over the two trailing dims."""
+    return jnp.swapaxes(m, -1, -2)
+
+
+def eclamp(
+    x: jnp.ndarray,
+    lower: Optional[jnp.ndarray],
+    upper: Optional[jnp.ndarray],
+) -> jnp.ndarray:
+    """Elementwise clamp with (possibly tensor-valued, possibly absent) bounds.
+
+    The reference's ``util.eclamp`` accepts scalar or tensor bounds; ``None``
+    means that side is unconstrained.
+    """
+    if lower is not None:
+        x = jnp.maximum(x, lower)
+    if upper is not None:
+        x = jnp.minimum(x, upper)
+    return x
+
+
+def detach(x):
+    """Cut gradients through a pytree — the reference's ``.detach()`` /
+    ``get_data_maybe`` idiom becomes ``lax.stop_gradient``."""
+    return jax.lax.stop_gradient(x)
+
+
+def symmetrize(m: jnp.ndarray) -> jnp.ndarray:
+    """0.5 (M + M') over the trailing matrix dims — keeps the Riccati value
+    Hessian exactly symmetric in f32 (SURVEY.md §7 hard-part 3)."""
+    return 0.5 * (m + btrans(m))
