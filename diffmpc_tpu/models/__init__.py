@@ -1,0 +1,19 @@
+from .dynamics import (
+    AffineDynamics,
+    CtrlPassthroughDynamics,
+    Dynamics,
+    NNDynamics,
+    autodiff_grad_input,
+)
+from .envs.cartpole import CartpoleDx
+from .envs.pendulum import PendulumDx
+
+__all__ = [
+    "AffineDynamics",
+    "CartpoleDx",
+    "CtrlPassthroughDynamics",
+    "Dynamics",
+    "NNDynamics",
+    "PendulumDx",
+    "autodiff_grad_input",
+]

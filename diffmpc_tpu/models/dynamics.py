@@ -1,0 +1,169 @@
+"""Dynamics model zoo.
+
+Capability parity: the reference's ``mpc/dynamics.py`` (SURVEY.md §2.1 C5) —
+``AffineDynamics``, ``NNDynamics`` (MLP state-transition model) and
+``CtrlPassthroughDynamics``. TPU-first: every model is a frozen
+``flax.struct`` pytree whose parameters flow through ``jit``/``grad``/
+``vmap``/``shard_map``; ``forward`` broadcasts over arbitrary leading batch
+dims and ``grad_input`` returns the state/control Jacobians ``(A, B)`` used
+for ``GradMethods.ANALYTIC`` linearization in the iLQR loop.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+class Dynamics:
+    """Protocol: ``forward(x, u) -> x_next`` (batched over leading dims) and
+    ``grad_input(x, u) -> (A, B)`` with ``A: (..., n, n)``, ``B: (..., n, m)``."""
+
+    def forward(self, x, u):  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def grad_input(self, x, u):
+        """Default: exact Jacobians via vmapped jacfwd (AUTO_DIFF == ANALYTIC
+        under JAX; models override with closed forms when cheaper)."""
+        return autodiff_grad_input(self.forward, x, u)
+
+    def __call__(self, x, u):
+        return self.forward(x, u)
+
+
+def autodiff_grad_input(fwd: Callable, x: jnp.ndarray, u: jnp.ndarray):
+    """Batched exact Jacobians of ``fwd`` w.r.t. ``x`` and ``u``.
+
+    Works for any leading batch shape by flattening, vmapping ``jacfwd`` over
+    single samples, and unflattening. This is the JAX replacement for the
+    reference's autograd-jacobian path (``mpc/dynamics.py: NNDynamics.
+    grad_input`` and ``mpc/mpc.py: linearize_dynamics`` AUTO_DIFF).
+    """
+    batch_shape = x.shape[:-1]
+    n = x.shape[-1]
+    m = u.shape[-1]
+    xf = x.reshape(-1, n)
+    uf = u.reshape(-1, m)
+    jac = jax.vmap(jax.jacfwd(lambda xx, uu: fwd(xx, uu), argnums=(0, 1)))
+    A, B = jac(xf, uf)
+    return A.reshape(*batch_shape, n, n), B.reshape(*batch_shape, n, m)
+
+
+@struct.dataclass
+class AffineDynamics(Dynamics):
+    """``x_next = A x + B u + c`` with exact ``grad_input`` (ref C5)."""
+
+    A: jnp.ndarray  # (n, n) or (..., n, n)
+    B: jnp.ndarray  # (n, m) or (..., n, m)
+    c: jnp.ndarray | None = None  # (n,) or (..., n)
+
+    def forward(self, x, u):
+        out = jnp.einsum("...ij,...j->...i", self.A, x) + jnp.einsum(
+            "...ij,...j->...i", self.B, u
+        )
+        if self.c is not None:
+            out = out + self.c
+        return out
+
+    def grad_input(self, x, u):
+        batch_shape = x.shape[:-1]
+        n = x.shape[-1]
+        m = u.shape[-1]
+        A = jnp.broadcast_to(self.A, (*batch_shape, n, n))
+        B = jnp.broadcast_to(self.B, (*batch_shape, n, m))
+        return A, B
+
+
+def _act(name: str):
+    return {
+        "relu": jax.nn.relu,
+        "tanh": jnp.tanh,
+        "sigmoid": jax.nn.sigmoid,
+        "elu": jax.nn.elu,
+        "softplus": jax.nn.softplus,
+        "gelu": jax.nn.gelu,
+    }[name]
+
+
+@struct.dataclass
+class NNDynamics(Dynamics):
+    """MLP state-transition model on ``[x; u]`` (ref C5 ``NNDynamics``).
+
+    ``weights[i]: (d_in, d_out)``, ``biases[i]: (d_out,)``; the final layer
+    outputs ``n_state``. ``residual=True`` predicts a delta added to ``x``
+    (a common stabilization; off by default for reference parity).
+    """
+
+    weights: Tuple[jnp.ndarray, ...]
+    biases: Tuple[jnp.ndarray, ...]
+    activation: str = struct.field(pytree_node=False, default="tanh")
+    residual: bool = struct.field(pytree_node=False, default=False)
+
+    @staticmethod
+    def init(
+        key,
+        n_state: int,
+        n_ctrl: int,
+        hidden: Sequence[int] = (64, 64),
+        activation: str = "tanh",
+        residual: bool = False,
+        dtype=jnp.float32,
+    ) -> "NNDynamics":
+        sizes = [n_state + n_ctrl, *hidden, n_state]
+        ws, bs = [], []
+        for i, (a, b) in enumerate(zip(sizes[:-1], sizes[1:])):
+            key, sub = jax.random.split(key)
+            scale = jnp.sqrt(2.0 / a).astype(dtype)
+            ws.append(jax.random.normal(sub, (a, b), dtype) * scale)
+            bs.append(jnp.zeros((b,), dtype))
+        return NNDynamics(tuple(ws), tuple(bs), activation, residual)
+
+    def forward(self, x, u):
+        h = jnp.concatenate([x, u], axis=-1)
+        act = _act(self.activation)
+        for i, (w, b) in enumerate(zip(self.weights, self.biases)):
+            h = h @ w + b
+            if i < len(self.weights) - 1:
+                h = act(h)
+        return x + h if self.residual else h
+
+
+@struct.dataclass
+class CtrlPassthroughDynamics(Dynamics):
+    """Wraps ``inner`` so the state carries a copy of the control:
+    state ``[u_tilde; x]``, next state ``[u; inner(x, u)]`` (ref C5).
+
+    Used by the slew-rate-penalty formulation, where the previous control
+    must be visible to the cost (SURVEY.md §2.1 C4 ``slew_rate_penalty``).
+    """
+
+    inner: Dynamics
+    n_ctrl: int = struct.field(pytree_node=False)
+
+    def forward(self, x, u):
+        m = self.n_ctrl
+        inner_x = x[..., m:]
+        x_next = self.inner.forward(inner_x, u)
+        return jnp.concatenate([u, x_next], axis=-1)
+
+    def grad_input(self, x, u):
+        """Compose the inner model's Jacobians:
+        A' = [[0, 0], [0, A]], B' = [[I], [B]] in the [u_tilde; x] layout."""
+        m = self.n_ctrl
+        inner_x = x[..., m:]
+        A_i, B_i = self.inner.grad_input(inner_x, u)
+        batch = x.shape[:-1]
+        n_i = inner_x.shape[-1]
+        dtype = x.dtype
+        zeros_tm = jnp.zeros((*batch, m, m + n_i), dtype)
+        A_top = zeros_tm  # d u_tilde' / d [u_tilde; x] = 0
+        A_bot = jnp.concatenate(
+            [jnp.zeros((*batch, n_i, m), dtype), A_i], axis=-1
+        )
+        A = jnp.concatenate([A_top, A_bot], axis=-2)
+        B_top = jnp.broadcast_to(jnp.eye(m, dtype=dtype), (*batch, m, m))
+        B = jnp.concatenate([B_top, B_i], axis=-2)
+        return A, B

@@ -1,0 +1,89 @@
+"""Differentiable swing-up pendulum dynamics.
+
+Capability parity: the reference's ``mpc/env_dx/pendulum.py`` ``PendulumDx``
+(SURVEY.md §2.1 C6): state ``(cos th, sin th, thdot)``; torque control
+clamped to ``+-max_torque``; learnable physical params ``(g, m, l)``
+(a sysid/imitation target); semi-implicit Euler step
+
+    thdot' = thdot + dt * (-3 g / (2 l) sin(th + pi) + 3 u / (m l^2))
+    th'    = th + dt * thdot'
+
+with ``dt = 0.05`` and ``thdot`` clamped to ``+-max_speed = 8``.
+``get_true_obj`` returns the goal-state quadratic cost ingredients
+(weights ``(1, 1, 0.1)`` toward upright ``(1, 0, 0)``, control penalty
+``1e-3``).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import struct
+
+from ..dynamics import Dynamics
+
+
+@struct.dataclass
+class PendulumDx(Dynamics):
+    params: jnp.ndarray  # (3,) = (g, m, l), learnable
+    max_torque: float = struct.field(pytree_node=False, default=2.0)
+    max_speed: float = struct.field(pytree_node=False, default=8.0)
+    dt: float = struct.field(pytree_node=False, default=0.05)
+    # Reference knob: if True the torque is squashed/clamped inside the
+    # dynamics; MPC box bounds make this redundant, but standalone rollouts
+    # (expert-data generation) rely on it.
+    clamp_ctrl: bool = struct.field(pytree_node=False, default=True)
+
+    n_state: int = struct.field(pytree_node=False, default=3)
+    n_ctrl: int = struct.field(pytree_node=False, default=1)
+
+    @staticmethod
+    def default(dtype=jnp.float32) -> "PendulumDx":
+        return PendulumDx(params=jnp.array([10.0, 1.0, 1.0], dtype))
+
+    def forward(self, x, u):
+        g, m, l = self.params[0], self.params[1], self.params[2]
+        cos_th, sin_th, thdot = x[..., 0], x[..., 1], x[..., 2]
+        uu = u[..., 0]
+        if self.clamp_ctrl:
+            uu = jnp.clip(uu, -self.max_torque, self.max_torque)
+        th = jnp.arctan2(sin_th, cos_th)
+        # sin(th + pi) = -sin(th)
+        newthdot = thdot + self.dt * (
+            3.0 * g / (2.0 * l) * sin_th + 3.0 * uu / (m * l * l)
+        )
+        newthdot = jnp.clip(newthdot, -self.max_speed, self.max_speed)
+        newth = th + self.dt * newthdot
+        return jnp.stack([jnp.cos(newth), jnp.sin(newth), newthdot], axis=-1)
+
+    def get_true_obj(self, dtype=None):
+        """Goal-state quadratic cost ingredients (ref C6 ``get_true_obj``):
+        returns ``(q, p)`` with ``C = diag(q)``, ``c = p`` so the cost
+        ``0.5 tau' C tau + c' tau`` is minimized at the upright goal."""
+        dtype = dtype or self.params.dtype
+        goal_weights = jnp.array([1.0, 1.0, 0.1], dtype)
+        goal_state = jnp.array([1.0, 0.0, 0.0], dtype)
+        ctrl_penalty = 0.001
+        q = jnp.concatenate([goal_weights, ctrl_penalty * jnp.ones(self.n_ctrl, dtype)])
+        p = jnp.concatenate(
+            [-goal_weights * goal_state, jnp.zeros(self.n_ctrl, dtype)]
+        )
+        return q, p
+
+    def angle_from_state(self, x):
+        return jnp.arctan2(x[..., 1], x[..., 0])
+
+    def get_frame(self, x, ax=None):
+        """Render one matplotlib frame (ref C6 ``get_frame``). Host-side
+        utility; requires matplotlib."""
+        import matplotlib.pyplot as plt
+        import numpy as np
+
+        x = np.asarray(x)
+        th = float(np.arctan2(x[1], x[0]))
+        l = float(self.params[2])
+        if ax is None:
+            _, ax = plt.subplots(figsize=(4, 4))
+        ax.plot([0.0, l * np.sin(th)], [0.0, l * np.cos(th)], color="k", lw=3)
+        ax.set_xlim(-1.2 * l, 1.2 * l)
+        ax.set_ylim(-1.2 * l, 1.2 * l)
+        return ax

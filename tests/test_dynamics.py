@@ -1,0 +1,154 @@
+"""Dynamics model zoo + env dynamics tests (SURVEY.md §4 rows 5-6)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffmpc_tpu.models import (
+    AffineDynamics,
+    CartpoleDx,
+    CtrlPassthroughDynamics,
+    NNDynamics,
+    PendulumDx,
+    autodiff_grad_input,
+)
+
+
+def test_affine_dynamics_forward_and_grads():
+    rng = np.random.default_rng(30)
+    n, m, B = 4, 2, 8
+    A = jnp.asarray(rng.standard_normal((n, n)))
+    Bm = jnp.asarray(rng.standard_normal((n, m)))
+    cv = jnp.asarray(rng.standard_normal(n))
+    dx = AffineDynamics(A, Bm, cv)
+    x = jnp.asarray(rng.standard_normal((B, n)))
+    u = jnp.asarray(rng.standard_normal((B, m)))
+    np.testing.assert_allclose(
+        np.asarray(dx.forward(x, u)), np.asarray(x @ A.T + u @ Bm.T + cv)
+    )
+    Ag, Bg = dx.grad_input(x, u)
+    assert Ag.shape == (B, n, n) and Bg.shape == (B, n, m)
+    Aa, Ba = autodiff_grad_input(dx.forward, x, u)
+    np.testing.assert_allclose(np.asarray(Ag), np.asarray(Aa))
+    np.testing.assert_allclose(np.asarray(Bg), np.asarray(Ba))
+
+
+def test_nn_dynamics_shapes_and_jacobians():
+    key = jax.random.PRNGKey(0)
+    n, m, B = 3, 2, 5
+    dx = NNDynamics.init(key, n, m, hidden=(16, 16), dtype=jnp.float64)
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, n), jnp.float64)
+    u = jax.random.normal(jax.random.PRNGKey(2), (B, m), jnp.float64)
+    out = dx.forward(x, u)
+    assert out.shape == (B, n)
+    A, Bm = dx.grad_input(x, u)  # default autodiff path
+    assert A.shape == (B, n, n) and Bm.shape == (B, n, m)
+    # directional FD check of the Jacobian
+    v = jax.random.normal(jax.random.PRNGKey(3), (n,), jnp.float64)
+    h = 1e-6
+    fd = (dx.forward(x + h * v, u) - dx.forward(x - h * v, u)) / (2 * h)
+    np.testing.assert_allclose(np.asarray(A @ v), np.asarray(fd), atol=1e-6)
+
+
+def test_ctrl_passthrough_composition():
+    key = jax.random.PRNGKey(4)
+    n, m, B = 3, 2, 4
+    inner = NNDynamics.init(key, n, m, hidden=(8,), dtype=jnp.float64)
+    wrap = CtrlPassthroughDynamics(inner=inner, n_ctrl=m)
+    x = jax.random.normal(jax.random.PRNGKey(5), (B, m + n), jnp.float64)
+    u = jax.random.normal(jax.random.PRNGKey(6), (B, m), jnp.float64)
+    out = wrap.forward(x, u)
+    assert out.shape == (B, m + n)
+    np.testing.assert_allclose(np.asarray(out[:, :m]), np.asarray(u))
+    np.testing.assert_allclose(
+        np.asarray(out[:, m:]), np.asarray(inner.forward(x[:, m:], u))
+    )
+    A, Bm = wrap.grad_input(x, u)
+    Aa, Ba = autodiff_grad_input(wrap.forward, x, u)
+    np.testing.assert_allclose(np.asarray(A), np.asarray(Aa), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(Bm), np.asarray(Ba), atol=1e-10)
+
+
+def test_pendulum_step_hand_computed():
+    """One Euler step vs hand-computed ODE values (ref C6 semantics)."""
+    dx = PendulumDx.default(jnp.float64)
+    g, m, l, dt = 10.0, 1.0, 1.0, 0.05
+    th, thdot, u = 2.0, 1.0, 0.5
+    x = jnp.asarray([[np.cos(th), np.sin(th), thdot]])
+    uu = jnp.asarray([[u]])
+    out = np.asarray(dx.forward(x, uu))[0]
+    newthdot = thdot + dt * (3 * g / (2 * l) * np.sin(th) + 3 * u / (m * l * l))
+    newth = th + dt * newthdot
+    np.testing.assert_allclose(out, [np.cos(newth), np.sin(newth), newthdot], atol=1e-12)
+
+
+def test_pendulum_speed_and_torque_limits():
+    dx = PendulumDx.default(jnp.float64)
+    x = jnp.asarray([[np.cos(0.5), np.sin(0.5), 7.9]])
+    u = jnp.asarray([[100.0]])  # must be clamped to +-2
+    out = np.asarray(dx.forward(x, u))[0]
+    assert abs(out[2]) <= 8.0 + 1e-12
+    out_clamped = np.asarray(dx.forward(x, jnp.asarray([[2.0]])))[0]
+    np.testing.assert_allclose(out, out_clamped, atol=1e-12)
+
+
+def test_pendulum_state_encoding_consistent():
+    """cos^2 + sin^2 stays 1 under rollout."""
+    dx = PendulumDx.default(jnp.float64)
+    x = jnp.asarray([[np.cos(2.5), np.sin(2.5), -1.0]])
+    for _ in range(50):
+        x = dx.forward(x, jnp.asarray([[1.5]]))
+    r = float(x[0, 0] ** 2 + x[0, 1] ** 2)
+    np.testing.assert_allclose(r, 1.0, atol=1e-10)
+
+
+def test_cartpole_step_hand_computed():
+    dx = CartpoleDx.default(jnp.float64)
+    g, mc, mp, l, dt = 9.8, 1.0, 0.1, 0.5, 0.05
+    p, pdot, th, thdot, u = 0.3, -0.2, 0.4, 0.5, 1.0
+    x = jnp.asarray([[p, pdot, np.cos(th), np.sin(th), thdot]])
+    out = np.asarray(dx.forward(x, jnp.asarray([[u]])))[0]
+    total = mc + mp
+    pml = mp * l
+    temp = (u + pml * thdot**2 * np.sin(th)) / total
+    th_acc = (g * np.sin(th) - np.cos(th) * temp) / (
+        l * (4.0 / 3.0 - mp * np.cos(th) ** 2 / total)
+    )
+    p_acc = temp - pml * th_acc * np.cos(th) / total
+    expect = [
+        p + dt * pdot,
+        pdot + dt * p_acc,
+        np.cos(th + dt * thdot),
+        np.sin(th + dt * thdot),
+        thdot + dt * th_acc,
+    ]
+    np.testing.assert_allclose(out, expect, atol=1e-12)
+
+
+def test_cartpole_upright_unstable_equilibrium():
+    """Zero state at upright with no force stays put; a perturbed pole
+    falls (th grows)."""
+    dx = CartpoleDx.default(jnp.float64)
+    x_eq = jnp.asarray([[0.0, 0.0, 1.0, 0.0, 0.0]])
+    out = np.asarray(dx.forward(x_eq, jnp.asarray([[0.0]])))[0]
+    np.testing.assert_allclose(out, np.asarray(x_eq)[0], atol=1e-12)
+    x = jnp.asarray([[0.0, 0.0, np.cos(0.05), np.sin(0.05), 0.0]])
+    for _ in range(20):
+        x = dx.forward(x, jnp.asarray([[0.0]]))
+    th = float(jnp.arctan2(x[0, 3], x[0, 2]))
+    assert th > 0.05
+
+
+def test_env_true_obj_minimized_at_goal():
+    for dx, goal in [
+        (PendulumDx.default(jnp.float64), jnp.asarray([1.0, 0.0, 0.0])),
+        (CartpoleDx.default(jnp.float64), jnp.asarray([0.0, 0.0, 1.0, 0.0, 0.0])),
+    ]:
+        q, p = dx.get_true_obj()
+        tau_goal = jnp.concatenate([goal, jnp.zeros(dx.n_ctrl)])
+
+        def cost(tau):
+            return 0.5 * jnp.sum(q * tau * tau) + jnp.sum(p * tau)
+
+        g = jax.grad(cost)(tau_goal)
+        np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-12)
