@@ -1,0 +1,29 @@
+from .mesh import (
+    BATCH_AXIS,
+    batch_sharding,
+    make_mesh,
+    replicate,
+    replicated,
+    shard_batch,
+)
+from .training import (
+    StepStats,
+    TrainState,
+    imitation_loss,
+    init_train_state,
+    make_dp_train_step,
+)
+
+__all__ = [
+    "BATCH_AXIS",
+    "StepStats",
+    "TrainState",
+    "batch_sharding",
+    "imitation_loss",
+    "init_train_state",
+    "make_dp_train_step",
+    "make_mesh",
+    "replicate",
+    "replicated",
+    "shard_batch",
+]
