@@ -9,6 +9,7 @@ from .mesh import (
 from .training import (
     StepStats,
     TrainState,
+    generate_expert_data,
     imitation_loss,
     init_train_state,
     make_dp_train_step,
@@ -19,6 +20,7 @@ __all__ = [
     "StepStats",
     "TrainState",
     "batch_sharding",
+    "generate_expert_data",
     "imitation_loss",
     "init_train_state",
     "make_dp_train_step",

@@ -11,8 +11,7 @@ so the communication pattern is visible and testable (SURVEY.md §5.8).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, NamedTuple
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -25,7 +24,7 @@ from .mesh import BATCH_AXIS
 
 
 class TrainState(NamedTuple):
-    params: object  # dynamics (and/or cost) parameters being learned
+    params: object  # learnable problem parameters (dynamics and/or cost)
     opt_state: object
 
 
@@ -38,18 +37,20 @@ class StepStats(NamedTuple):
 def imitation_loss(
     config: MPCConfig,
     params,
-    make_dx: Callable,
-    cost,
+    make_problem: Callable,
     x_init: jnp.ndarray,
     u_expert: jnp.ndarray,
     u_lower=None,
     u_upper=None,
 ):
-    """MSE between the learned-model MPC controls and expert controls
-    (SURVEY.md §3.5) — gradients flow through the analytic KKT backward of
-    the final LQR step only."""
+    """MSE between learned-model MPC controls and expert controls
+    (SURVEY.md §3.5). ``make_problem(params) -> (cost, dx)`` rebuilds the
+    (differentiable) cost and dynamics from the learnable parameters —
+    gradients flow through the analytic KKT backward of the final LQR step
+    only, exactly like the reference's fixed-point semantics."""
+    cost, dx = make_problem(params)
     sol = mpc_solve(
-        config, x_init, cost, make_dx(params), u_lower=u_lower, u_upper=u_upper
+        config, x_init, cost, dx, u_lower=u_lower, u_upper=u_upper
     )
     per_elem = jnp.mean((sol.us - u_expert) ** 2, axis=(0, 2))  # (B_local,)
     return jnp.mean(per_elem), sol.info
@@ -57,51 +58,58 @@ def imitation_loss(
 
 def make_dp_train_step(
     config: MPCConfig,
-    make_dx: Callable,
-    cost,
+    make_problem: Callable,
     optimizer: optax.GradientTransformation,
-    mesh: Mesh,
+    mesh: Optional[Mesh] = None,
     u_lower=None,
     u_upper=None,
 ):
-    """Build a jitted data-parallel train step over ``mesh``.
+    """Build a jitted (optionally data-parallel) imitation train step.
 
     Returns ``step(state, x_init, u_expert) -> (state, StepStats)`` where
     ``x_init (B, n)`` / ``u_expert (T, B, m)`` are globally sharded on the
-    batch axis. Inside ``shard_map`` each device computes its local loss
-    gradient; ``jax.lax.pmean`` over the batch axis reduces gradients and
-    stats across devices (ICI-routed on TPU pods).
+    batch axis when a ``mesh`` is given. Inside ``shard_map`` each device
+    computes its local loss gradient; ``jax.lax.pmean`` over the batch axis
+    reduces gradients and stats across devices (ICI-routed on TPU pods).
+    With ``mesh=None`` the same step runs single-device (the reference's
+    whole parallelism story — SURVEY.md §2.3).
     """
 
     def local_grads(params, x_init, u_expert):
         (loss, info), grads = jax.value_and_grad(
             lambda p: imitation_loss(
-                config, p, make_dx, cost, x_init, u_expert, u_lower, u_upper
+                config, p, make_problem, x_init, u_expert, u_lower, u_upper
             ),
             has_aux=True,
         )(params)
         conv = jnp.mean(info.converged.astype(jnp.float32))
-        # Explicit cross-device reductions (the reference has no equivalent;
-        # SURVEY.md §2.3 "communication backend" row).
-        loss = jax.lax.pmean(loss, BATCH_AXIS)
-        grads = jax.lax.pmean(grads, BATCH_AXIS)
-        conv = jax.lax.pmean(conv, BATCH_AXIS)
+        if mesh is not None:
+            # Explicit cross-device reductions (SURVEY.md §2.3 "communication
+            # backend" row: the reference ships none; psum/pmean over ICI is
+            # the TPU-native equivalent).
+            loss = jax.lax.pmean(loss, BATCH_AXIS)
+            grads = jax.lax.pmean(grads, BATCH_AXIS)
+            conv = jax.lax.pmean(conv, BATCH_AXIS)
         return loss, grads, conv
 
-    # check_vma=False: the iLQR while_loop initializes per-element carries
-    # (done masks, best costs) from literals, which JAX's varying-manual-axes
-    # tracker refuses to unify with batch-varying outputs inside shard_map.
-    sharded_grads = jax.shard_map(
-        local_grads,
-        mesh=mesh,
-        in_specs=(P(), P(BATCH_AXIS), P(None, BATCH_AXIS)),
-        out_specs=(P(), P(), P()),
-        check_vma=False,
-    )
+    if mesh is not None:
+        # check_vma=False: the iLQR while_loop initializes per-element
+        # carries (done masks, best costs) from literals, which JAX's
+        # varying-manual-axes tracker refuses to unify with batch-varying
+        # outputs inside shard_map.
+        grads_fn = jax.shard_map(
+            local_grads,
+            mesh=mesh,
+            in_specs=(P(), P(BATCH_AXIS), P(None, BATCH_AXIS)),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+    else:
+        grads_fn = local_grads
 
     @jax.jit
     def step(state: TrainState, x_init, u_expert):
-        loss, grads, conv = sharded_grads(state.params, x_init, u_expert)
+        loss, grads, conv = grads_fn(state.params, x_init, u_expert)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         gnorm = optax.global_norm(grads)
@@ -112,3 +120,17 @@ def make_dp_train_step(
 
 def init_train_state(params, optimizer: optax.GradientTransformation) -> TrainState:
     return TrainState(params=params, opt_state=optimizer.init(params))
+
+
+def generate_expert_data(
+    config: MPCConfig,
+    cost,
+    dx,
+    x_init: jnp.ndarray,
+    u_lower=None,
+    u_upper=None,
+):
+    """Run MPC with the TRUE cost/dynamics to produce expert trajectories
+    (the reference's expert-data-generation script, SURVEY.md §2.1 C8)."""
+    sol = mpc_solve(config, x_init, cost, dx, u_lower=u_lower, u_upper=u_upper)
+    return sol.xs, sol.us, sol.objs

@@ -1,0 +1,118 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh
+(SURVEY.md §4 "multi-host tests run the same seeded problem at 1 and N
+devices and assert agreement of the gathered result")."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from diffmpc_tpu import MPCConfig, QuadCost, mpc_solve
+from diffmpc_tpu.models import PendulumDx
+from diffmpc_tpu.parallel import (
+    batch_sharding,
+    init_train_state,
+    make_dp_train_step,
+    make_mesh,
+    shard_batch,
+)
+
+
+@pytest.fixture(scope="module")
+def problem():
+    # f64: the single-device and partitioned programs are separate XLA
+    # compilations whose f32 fusion/reassociation differences can flip a
+    # discrete line-search branch; in f64 the branch decisions are stable
+    # and 1-vs-N-device agreement is exact to solver tolerance.
+    dtype = jnp.float64
+    B, T = 32, 10
+    dx = PendulumDx.default(dtype)
+    q, p = dx.get_true_obj()
+    cost = QuadCost(jnp.diag(q), p)
+    # eps=0 + huge not_improved_lim: every element runs exactly lqr_iter
+    # iterations in both compilations, keeping discrete branches (line-search
+    # accepts, convergence exits) far from numerical ties.
+    config = MPCConfig(
+        n_state=3, n_ctrl=1, T=T, lqr_iter=6, eps=0.0,
+        not_improved_lim=10**6, exit_unconverged=False,
+        detach_unconverged=False, dtype=dtype,
+    )
+    rng = np.random.default_rng(50)
+    th = rng.uniform(-np.pi, np.pi, B)
+    thdot = rng.uniform(-1, 1, B)
+    x_init = jnp.asarray(np.stack([np.cos(th), np.sin(th), thdot], -1), dtype)
+    return config, cost, dx, x_init
+
+
+def test_eight_devices_available():
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+
+
+def test_sharded_solve_matches_single_device(problem):
+    config, cost, dx, x_init = problem
+    mesh = make_mesh()
+
+    solve = jax.jit(lambda x: mpc_solve(config, x, cost, dx, u_lower=-2.0, u_upper=2.0))
+    ref = solve(x_init)
+
+    x_sharded = jax.device_put(x_init, batch_sharding(mesh, 0, 2))
+    out = solve(x_sharded)
+    np.testing.assert_allclose(np.asarray(out.us), np.asarray(ref.us), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.xs), np.asarray(ref.xs), atol=1e-6)
+    # result really was computed under the mesh sharding
+    assert len(out.us.sharding.device_set) >= 1
+
+
+def test_dp_train_step_matches_single_device(problem):
+    """Sharded shard_map+pmean training step == single-device step
+    (same seeded problem at 1 and N devices; SURVEY.md §4)."""
+    config, cost, dx, x_init = problem
+    T = config.T
+    B = x_init.shape[0]
+    u_expert = jnp.zeros((T, B, 1), x_init.dtype)
+
+    def make_problem(params):
+        return cost, dx.replace(params=params)
+
+    opt = optax.sgd(1e-2)
+    mesh = make_mesh()
+    step_1 = make_dp_train_step(config, make_problem, opt, None, -2.0, 2.0)
+    step_n = make_dp_train_step(config, make_problem, opt, mesh, -2.0, 2.0)
+
+    s0 = init_train_state(dx.params, opt)
+    s1, st1 = step_1(s0, x_init, u_expert)
+    sn, stn = step_n(
+        s0, shard_batch(mesh, x_init, 0), shard_batch(mesh, u_expert, 1)
+    )
+    np.testing.assert_allclose(float(stn.loss), float(st1.loss), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(sn.params), np.asarray(s1.params), atol=1e-7
+    )
+    np.testing.assert_allclose(
+        float(stn.grad_norm), float(st1.grad_norm), rtol=1e-5
+    )
+
+
+def test_scaling_batch_shards_evenly():
+    """65k-scenario shape (driver eval config 5, scaled down): solve with
+    B=1024 sharded over 8 devices — each device sees B/8."""
+    dtype = jnp.float32
+    B, T = 1024, 5
+    dx = PendulumDx.default(dtype)
+    q, p = dx.get_true_obj()
+    cost = QuadCost(jnp.diag(q), p)
+    config = MPCConfig(
+        n_state=3, n_ctrl=1, T=T, lqr_iter=2, eps=1e-4,
+        exit_unconverged=False, dtype=dtype,
+    )
+    rng = np.random.default_rng(51)
+    th = rng.uniform(-np.pi, np.pi, B)
+    x_init = jnp.asarray(np.stack([np.cos(th), np.sin(th), 0 * th], -1), dtype)
+    mesh = make_mesh()
+    xs = jax.device_put(x_init, batch_sharding(mesh, 0, 2))
+    sol = jax.jit(lambda x: mpc_solve(config, x, cost, dx, u_lower=-2.0, u_upper=2.0))(xs)
+    assert sol.us.shape == (T, B, 1)
+    assert bool(jnp.all(jnp.isfinite(sol.us)))
+    # output batch axis stays sharded over all 8 devices
+    assert len(sol.xs.sharding.device_set) == 8
