@@ -32,6 +32,7 @@ import jax.numpy as jnp
 
 from ..utils.batch import bmv, bquad, bdot, btrans, eclamp, symmetrize
 from .pnqp import masked_identity_system, pnqp
+from .smallchol import cho_solve_small, cholesky_small
 
 
 class RiccatiResult(NamedTuple):
@@ -41,8 +42,7 @@ class RiccatiResult(NamedTuple):
     n_qp_iter: jnp.ndarray  # (T, B) int32 — pnqp iterations (0 when unused)
 
 
-def _cho_solve(chol: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
-    return jax.scipy.linalg.cho_solve((chol, True), rhs)
+_cho_solve = cho_solve_small
 
 
 def riccati_backward(
@@ -133,7 +133,7 @@ def riccati_backward(
         elif ctrl_mask is not None:
             frozen = inp["frozen"]
             Hm = masked_identity_system(Quu, frozen, reg)
-            chol = jnp.linalg.cholesky(Hm)
+            chol = cholesky_small(Hm)
             rhs = jnp.concatenate(
                 [
                     jnp.where(frozen[..., None], 0.0, Qux),
@@ -146,7 +146,7 @@ def riccati_backward(
             free = ~frozen
             qp_iters = jnp.zeros(qu.shape[:-1], dtype=jnp.int32)
         else:
-            chol = jnp.linalg.cholesky(Quu + reg * eye_m)
+            chol = cholesky_small(Quu, reg)
             rhs = jnp.concatenate([Qux, qu[..., None]], axis=-1)
             Kk = -_cho_solve(chol, rhs)
             K, kt = Kk[..., :n], Kk[..., n]

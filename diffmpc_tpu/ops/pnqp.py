@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.batch import bmv, bquad, bdot, eclamp
+from .smallchol import cho_solve_small, cholesky_small
 
 
 class PnqpResult(NamedTuple):
@@ -98,9 +99,25 @@ def pnqp(
     lower = jnp.broadcast_to(jnp.asarray(lower, dtype), q.shape)
     upper = jnp.broadcast_to(jnp.asarray(upper, dtype), q.shape)
 
+    if m == 1:
+        # 1-D box QP in closed form: x* = clamp(-q/H) — no Newton loop.
+        # (The reference iterates here too; with one control dim the
+        # projected-Newton fixed point is available directly.)
+        h = H[..., 0, 0] + reg
+        x = eclamp(-q[..., 0] / h, lower[..., 0], upper[..., 0])[..., None]
+        g = bmv(H, x) + q
+        Ic = ((x <= lower + eps) & (g > 0)) | ((x >= upper - eps) & (g < 0))
+        Hm = jnp.where(Ic[..., None], 1.0, H + reg)
+        return PnqpResult(
+            x=x,
+            chol_free=jnp.sqrt(Hm),
+            free_mask=~Ic,
+            n_iter=jnp.ones(q.shape[:-1], dtype=jnp.int32),
+        )
+
     if x_init is None:
-        chol0 = jnp.linalg.cholesky(H + reg * eye)
-        x_init = -jax.scipy.linalg.cho_solve((chol0, True), q[..., None])[..., 0]
+        chol0 = cholesky_small(H, reg)
+        x_init = -cho_solve_small(chol0, q[..., None])[..., 0]
     x0 = eclamp(x_init, lower, upper)
 
     alphas = armijo_decay ** jnp.arange(armijo_iter, dtype=dtype)
@@ -116,8 +133,8 @@ def pnqp(
         Ic = clamped_set(x, g)
         Hm = masked_identity_system(H, Ic, reg)
         gm = jnp.where(Ic, 0.0, g)
-        chol = jnp.linalg.cholesky(Hm)
-        dx = -jax.scipy.linalg.cho_solve((chol, True), gm[..., None])[..., 0]
+        chol = cholesky_small(Hm)
+        dx = -cho_solve_small(chol, gm[..., None])[..., 0]
 
         step_small = jnp.max(jnp.abs(dx), axis=-1) < eps
         # Vectorized Armijo ladder: candidate points for every alpha at once.
@@ -151,5 +168,5 @@ def pnqp(
     g = bmv(H, x) + q
     Ic = clamped_set(x, g)
     Hm = masked_identity_system(H, Ic, reg)
-    chol = jnp.linalg.cholesky(Hm)
+    chol = cholesky_small(Hm)
     return PnqpResult(x=x, chol_free=chol, free_mask=~Ic, n_iter=iters)
