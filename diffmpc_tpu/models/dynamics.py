@@ -17,6 +17,8 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+from ..utils.batch import PRECISION
+
 
 class Dynamics:
     """Protocol: ``forward(x, u) -> x_next`` (batched over leading dims) and
@@ -61,9 +63,9 @@ class AffineDynamics(Dynamics):
     c: jnp.ndarray | None = None  # (n,) or (..., n)
 
     def forward(self, x, u):
-        out = jnp.einsum("...ij,...j->...i", self.A, x) + jnp.einsum(
-            "...ij,...j->...i", self.B, u
-        )
+        out = jnp.einsum(
+            "...ij,...j->...i", self.A, x, precision=PRECISION
+        ) + jnp.einsum("...ij,...j->...i", self.B, u, precision=PRECISION)
         if self.c is not None:
             out = out + self.c
         return out

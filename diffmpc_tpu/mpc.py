@@ -37,7 +37,7 @@ from .ops.linearize import linearize_dynamics, quadraticize_cost
 from .ops.lqr import lqr_rollout, trajectory_cost
 from .ops.lqr_step import LqrSpec, lqr_fixed_point, lqr_step
 from .types import GradMethods, LinDx, MPCConfig, QuadCost
-from .utils.batch import detach
+from .utils.batch import PRECISION, detach
 
 CostLike = Union[QuadCost, Callable]
 DxLike = Union[LinDx, object]
@@ -247,7 +247,7 @@ def mpc_solve(
     def lin_dyn_fn(Fs, fs):
         def dyn(xt, ut, t):
             tau = jnp.concatenate([xt, ut], axis=-1)
-            return jnp.einsum("bij,bj->bi", Fs[t], tau) + fs[t]
+            return jnp.einsum("bij,bj->bi", Fs[t], tau, precision=PRECISION) + fs[t]
 
         return dyn
 

@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from ..types import GradMethods, LinDx
+from ..utils.batch import PRECISION
 
 
 def linearize_dynamics(
@@ -49,7 +50,7 @@ def linearize_dynamics(
     F = jnp.concatenate([A, B], axis=-1)
     fwd = dx.forward(xs, us)
     tau = jnp.concatenate([xs, us], axis=-1)
-    f = fwd - jnp.einsum("...ij,...j->...i", F, tau)
+    f = fwd - jnp.einsum("...ij,...j->...i", F, tau, precision=PRECISION)
     return LinDx(F, f)
 
 
@@ -106,5 +107,5 @@ def quadraticize_cost(
     T, B, nm = tau.shape
     g = g.reshape(T, B, nm)
     H = H.reshape(T, B, nm, nm)
-    c = g - jnp.einsum("tbij,tbj->tbi", H, tau)
+    c = g - jnp.einsum("tbij,tbj->tbi", H, tau, precision=PRECISION)
     return H, c

@@ -30,7 +30,7 @@ from typing import Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from ..utils.batch import bmv, bquad, bdot, btrans, eclamp, symmetrize
+from ..utils.batch import bmm, bmv, bquad, bdot, btrans, eclamp, symmetrize
 from .pnqp import masked_identity_system, pnqp
 from .smallchol import cho_solve_small, cholesky_small
 
@@ -103,7 +103,7 @@ def riccati_backward(
         V, v = carry  # (B, n, n), (B, n)
         Ct, ct, Ft, ft = inp["C"], inp["c"], inp["F"], inp["f"]
         FtT = btrans(Ft)  # (B, n+m, n)
-        Q = Ct + FtT @ (V @ Ft)
+        Q = Ct + bmm(FtT, bmm(V, Ft))
         q = ct + bmv(FtT, bmv(V, ft) + v)
         Q = symmetrize(Q)
 
@@ -154,7 +154,7 @@ def riccati_backward(
             qp_iters = jnp.zeros(qu.shape[:-1], dtype=jnp.int32)
 
         KT = btrans(K)
-        V_new = Qxx + Qxu @ K + KT @ Qux + KT @ (Quu @ K)
+        V_new = Qxx + bmm(Qxu, K) + bmm(KT, Qux) + bmm(KT, bmm(Quu, K))
         v_new = qx + bmv(Qxu, kt) + bmv(KT, qu + bmv(Quu, kt))
         V_new = symmetrize(V_new)
         return (V_new, v_new), dict(K=K, k=kt, free=free, qp=qp_iters)

@@ -1,0 +1,390 @@
+"""Pallas TPU kernel: fused batched Riccati backward recursion.
+
+The "native component" of this framework (SURVEY.md §2 provenance note and
+§7 stage 8): the reference's hot loop is per-timestep dense linalg of size
+``n+m <= ~8`` batched over thousands of scenarios (``mpc/lqr_step.py:
+lqr_backward``); its CUDA leverage came from cuBLAS batched kernels. On TPU
+the right shape is the opposite of BLAS: block MANY scenarios per tile and
+scalarize the tiny matrices — every matrix entry becomes an ``(S, 128)``
+f32 VPU tile over scenarios (batch-minor layout), the whole ``t = T-1..0``
+recursion runs inside one kernel with the value-function carry ``(V, v)``
+held in registers/VMEM, and the entire per-step chain
+(form Q -> factor -> gains -> V-update, including the projected-Newton box
+QP) is one fused VPU program with zero HBM round-trips between steps.
+
+Supports the same three constraint modes as
+:func:`diffmpc_tpu.ops.lqr.riccati_backward` (free / box via in-kernel pnqp
+/ frozen-dims mask for the KKT backward) and matches it to f32 tolerance —
+see tests/test_pallas_riccati.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..lqr import RiccatiResult
+
+LANE = 128
+SUBLANE = 8
+TILE_B = LANE * SUBLANE  # scenarios per kernel instance
+
+
+# ---------------------------------------------------------------------------
+# Entry-wise linear algebra on lists-of-(S,128)-tiles (generated with static
+# Python loops — the in-kernel counterpart of ops/smallchol.py).
+# ---------------------------------------------------------------------------
+
+
+def _chol_entries(A, m, reg=0.0):
+    """Cholesky of an m x m SPD matrix whose entries A[i][j] are (S, 128)
+    tiles; returns lower-factor entries."""
+    L = [[None] * m for _ in range(m)]
+    for j in range(m):
+        s = A[j][j] + reg if reg else A[j][j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        d = jnp.sqrt(s)
+        L[j][j] = d
+        inv = 1.0 / d
+        for i in range(j + 1, m):
+            s = A[i][j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s * inv
+    return L
+
+
+def _cho_solve_entries(L, b, m):
+    """Solve A x = b with L the Cholesky entries; b is a list of m tiles."""
+    y = [None] * m
+    for i in range(m):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * m
+    for i in reversed(range(m)):
+        s = y[i]
+        for k in range(i + 1, m):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return x
+
+
+def _masked_chol_solve(Quu, rhs_cols, frozen, m, reg):
+    """Solve (masked Quu) X = rhs for several rhs columns with frozen dims
+    replaced by identity rows/cols and rhs rows zeroed — the shared
+    machinery of box/mask modes (see ops/pnqp.py masked_identity_system)."""
+    free = [1.0 - frozen[i] for i in range(m)]
+    Am = [
+        [
+            Quu[i][j] * free[i] * free[j] + (frozen[i] if i == j else 0.0)
+            for j in range(m)
+        ]
+        for i in range(m)
+    ]
+    L = _chol_entries(Am, m, reg)
+    outs = []
+    for col in rhs_cols:
+        col_m = [col[i] * free[i] for i in range(m)]
+        outs.append(_cho_solve_entries(L, col_m, m))
+    return outs
+
+
+def _pnqp_entries(Quu, qu, lo, hi, m, n_iter, reg):
+    """In-kernel batched projected-Newton box QP in the entry-tile layout —
+    the fused counterpart of ops/pnqp.py (same masking trick, fixed trip
+    count, first-improving-step Armijo ladder)."""
+    if m == 1:
+        h = Quu[0][0] + reg
+        x = jnp.clip(-qu[0] / h, lo[0], hi[0])
+        g = Quu[0][0] * x + qu[0]
+        clamped = jnp.where(
+            ((x <= lo[0]) & (g > 0)) | ((x >= hi[0]) & (g < 0)), 1.0, 0.0
+        )
+        return [x], [clamped]
+
+    # start from the clamped unconstrained Newton point
+    L0 = _chol_entries(Quu, m, reg)
+    x = _cho_solve_entries(L0, [-qu[i] for i in range(m)], m)
+    x = [jnp.clip(x[i], lo[i], hi[i]) for i in range(m)]
+
+    def matvec(M, v):
+        return [sum(M[i][j] * v[j] for j in range(m)) for i in range(m)]
+
+    def obj(xv):
+        Hx = matvec(Quu, xv)
+        return sum(0.5 * xv[i] * Hx[i] + qu[i] * xv[i] for i in range(m))
+
+    frozen = None
+    for _ in range(n_iter):
+        g = [matvec(Quu, x)[i] + qu[i] for i in range(m)]
+        frozen = [
+            jnp.where(
+                ((x[i] <= lo[i] + 1e-6) & (g[i] > 0))
+                | ((x[i] >= hi[i] - 1e-6) & (g[i] < 0)),
+                1.0,
+                0.0,
+            )
+            for i in range(m)
+        ]
+        (dx,) = _masked_chol_solve(Quu, [[-g[i] for i in range(m)]], frozen, m, reg)
+        f0 = obj(x)
+        best = x
+        accepted = jnp.zeros_like(f0)
+        alpha = 1.0
+        for _a in range(6):
+            cand = [
+                jnp.clip(x[i] + alpha * dx[i], lo[i], hi[i]) for i in range(m)
+            ]
+            better = (obj(cand) < f0) & (accepted == 0.0)
+            best = [jnp.where(better, cand[i], best[i]) for i in range(m)]
+            accepted = jnp.where(better, 1.0, accepted)
+            alpha *= 0.5
+        x = best
+
+    g = [sum(Quu[i][j] * x[j] for j in range(m)) + qu[i] for i in range(m)]
+    frozen = [
+        jnp.where(
+            ((x[i] <= lo[i] + 1e-6) & (g[i] > 0))
+            | ((x[i] >= hi[i] - 1e-6) & (g[i] < 0)),
+            1.0,
+            0.0,
+        )
+        for i in range(m)
+    ]
+    return x, frozen
+
+
+# ---------------------------------------------------------------------------
+# The kernel.
+# ---------------------------------------------------------------------------
+
+
+def _make_kernel(T, n, m, mode, reg, pnqp_iter):
+    nm = n + m
+
+    def kernel(*refs):
+        if mode == "box":
+            C_ref, c_ref, F_ref, f_ref, lo_ref, hi_ref, K_ref, k_ref, free_ref = refs
+        elif mode == "mask":
+            C_ref, c_ref, F_ref, f_ref, mask_ref, K_ref, k_ref, free_ref = refs
+        else:
+            C_ref, c_ref, F_ref, f_ref, K_ref, k_ref, free_ref = refs
+
+        zero = jnp.zeros((SUBLANE, LANE), jnp.float32)
+
+        def step(i, carry):
+            t = T - 1 - i
+            Vv = carry  # tuple: n*n V entries then n v entries
+            V = [[Vv[a * n + b] for b in range(n)] for a in range(n)]
+            v = [Vv[n * n + a] for a in range(n)]
+
+            Ft = [[F_ref[0, t, a, b] for b in range(nm)] for a in range(n)]
+            ct = [c_ref[0, t, a] for a in range(nm)]
+            ft = [f_ref[0, t, a] for a in range(n)]
+
+            # W[k][j] = sum_l V[k][l] F[l][j]; z[k] = sum_l V[k][l] f[l] + v[k]
+            W = [
+                [sum(V[k][l] * Ft[l][j] for l in range(n)) for j in range(nm)]
+                for k in range(n)
+            ]
+            z = [sum(V[k][l] * ft[l] for l in range(n)) + v[k] for k in range(n)]
+
+            # Q = C + F' W (symmetric): compute upper triangle, mirror
+            Q = [[None] * nm for _ in range(nm)]
+            for a in range(nm):
+                for b in range(a, nm):
+                    val = C_ref[0, t, a, b] + sum(
+                        Ft[k][a] * W[k][b] for k in range(n)
+                    )
+                    Q[a][b] = val
+                    if b != a:
+                        Q[b][a] = val
+            q = [ct[a] + sum(Ft[k][a] * z[k] for k in range(n)) for a in range(nm)]
+
+            Quu = [[Q[n + a][n + b] for b in range(m)] for a in range(m)]
+            Qux = [[Q[n + a][b] for b in range(n)] for a in range(m)]
+            qu = [q[n + a] for a in range(m)]
+
+            if mode == "box":
+                lo = [lo_ref[0, t, a] for a in range(m)]
+                hi = [hi_ref[0, t, a] for a in range(m)]
+                kt, frozen = _pnqp_entries(Quu, qu, lo, hi, m, pnqp_iter, reg)
+                rhs_cols = [[Qux[a][b] for a in range(m)] for b in range(n)]
+                K_cols = _masked_chol_solve(Quu, rhs_cols, frozen, m, reg)
+                K = [[-K_cols[b][a] for b in range(n)] for a in range(m)]
+            elif mode == "mask":
+                frozen = [mask_ref[0, t, a] for a in range(m)]
+                rhs_cols = [[Qux[a][b] for a in range(m)] for b in range(n)] + [qu]
+                sols = _masked_chol_solve(Quu, rhs_cols, frozen, m, reg)
+                K = [[-sols[b][a] for b in range(n)] for a in range(m)]
+                kt = [-sols[n][a] for a in range(m)]
+            else:
+                frozen = [zero] * m
+                L = _chol_entries(Quu, m, reg)
+                cols = [
+                    _cho_solve_entries(L, [Qux[a][b] for a in range(m)], m)
+                    for b in range(n)
+                ]
+                kcol = _cho_solve_entries(L, qu, m)
+                K = [[-cols[b][a] for b in range(n)] for a in range(m)]
+                kt = [-kcol[a] for a in range(m)]
+
+            # V' = Qxx + Qxu K + (Qxu K)' + K' Quu K ; symmetric
+            # v' = qx + Qxu k + K'(qu + Quu k)
+            QuuK = [
+                [sum(Quu[a][b2] * K[b2][j] for b2 in range(m)) for j in range(n)]
+                for a in range(m)
+            ]
+            Quuk = [sum(Quu[a][b2] * kt[b2] for b2 in range(m)) for a in range(m)]
+            Vn = [[None] * n for _ in range(n)]
+            for a in range(n):
+                for b in range(a, n):
+                    # (Qxu K)_ab + (K' Qux)_ab [= (Qxu K)_ba] + (K' Quu K)_ab
+                    qxuK_ab = sum(Q[a][n + r] * K[r][b] for r in range(m))
+                    qxuK_ba = sum(Q[b][n + r] * K[r][a] for r in range(m))
+                    kQk = sum(K[r][a] * QuuK[r][b] for r in range(m))
+                    val = Q[a][b] + qxuK_ab + qxuK_ba + kQk
+                    Vn[a][b] = val
+                    if b != a:
+                        Vn[b][a] = val
+            vn = [
+                q[a]
+                + sum(Q[a][n + r] * kt[r] for r in range(m))
+                + sum(K[r][a] * (qu[r] + Quuk[r]) for r in range(m))
+                for a in range(n)
+            ]
+
+            for a in range(m):
+                for b in range(n):
+                    K_ref[0, t, a, b] = K[a][b]
+                k_ref[0, t, a] = kt[a]
+                free_ref[0, t, a] = 1.0 - frozen[a]
+
+            flat = tuple(Vn[a][b] for a in range(n) for b in range(n)) + tuple(vn)
+            return flat
+
+        init = tuple(zero for _ in range(n * n + n))
+        jax.lax.fori_loop(0, T, step, init)
+
+    return kernel
+
+
+def _to_kernel_layout(x, G):
+    """(T, B, d1, d2?) -> (G, T, d1, d2?, S, 128)."""
+    T = x.shape[0]
+    trail = x.shape[2:]
+    x = jnp.moveaxis(x, 1, -1)  # (T, *trail, B)
+    x = x.reshape(x.shape[:-1] + (G, SUBLANE, LANE))
+    return jnp.moveaxis(x, -3, 0)  # (G, T, *trail, S, 128)
+
+
+def _from_kernel_layout(x):
+    """(G, T, d1, d2?, S, 128) -> (T, B, d1, d2?)."""
+    x = jnp.moveaxis(x, 0, -3)  # (T, *trail, G, S, 128)
+    x = x.reshape(x.shape[:-3] + (-1,))
+    return jnp.moveaxis(x, -1, 1)
+
+
+def riccati_backward_pallas(
+    C: jnp.ndarray,
+    c: jnp.ndarray,
+    F: jnp.ndarray,
+    f: Optional[jnp.ndarray],
+    n_state: int,
+    *,
+    u_lower: Optional[jnp.ndarray] = None,
+    u_upper: Optional[jnp.ndarray] = None,
+    u_hat: Optional[jnp.ndarray] = None,
+    ctrl_mask: Optional[jnp.ndarray] = None,
+    reg: float = 1e-9,
+    pnqp_iter: int = 8,
+    pnqp_eps: float = 1e-6,
+    interpret: bool = False,
+) -> RiccatiResult:
+    """Drop-in Pallas replacement for :func:`diffmpc_tpu.ops.lqr.
+    riccati_backward` (same contract; see that docstring). The batch is
+    padded to a multiple of 1024 (8 sublanes x 128 lanes) with benign
+    identity problems and tiled over the kernel grid."""
+    n = n_state
+    T, B = C.shape[0], C.shape[1]
+    nm = C.shape[-1]
+    m = nm - n
+    dtype = C.dtype
+    box = u_lower is not None
+    mode = "box" if box else ("mask" if ctrl_mask is not None else "free")
+
+    orig_B = B
+    pad = (-B) % TILE_B
+    if pad:
+        eyepad = jnp.broadcast_to(jnp.eye(nm, dtype=dtype), (T, pad, nm, nm))
+        C = jnp.concatenate([C, eyepad], axis=1)
+        c = jnp.concatenate([c, jnp.zeros((T, pad, nm), dtype)], axis=1)
+        F = jnp.concatenate([F, jnp.zeros((T, pad, n, nm), dtype)], axis=1)
+        if f is not None:
+            f = jnp.concatenate([f, jnp.zeros((T, pad, n), dtype)], axis=1)
+        if box:
+            u_lower = jnp.concatenate(
+                [jnp.broadcast_to(u_lower, (T, orig_B, m)), jnp.full((T, pad, m), -1.0, dtype)], axis=1
+            )
+            u_upper = jnp.concatenate(
+                [jnp.broadcast_to(u_upper, (T, orig_B, m)), jnp.full((T, pad, m), 1.0, dtype)], axis=1
+            )
+            u_hat = jnp.concatenate([u_hat, jnp.zeros((T, pad, m), dtype)], axis=1)
+        if ctrl_mask is not None:
+            ctrl_mask = jnp.concatenate(
+                [ctrl_mask, jnp.zeros((T, pad, m), bool)], axis=1
+            )
+        B = B + pad
+    G = B // TILE_B
+
+    if f is None:
+        f = jnp.zeros((T, B, n), dtype)
+
+    f32 = lambda x: x.astype(jnp.float32)
+    ins = [
+        _to_kernel_layout(f32(C), G),
+        _to_kernel_layout(f32(c), G),
+        _to_kernel_layout(f32(F), G),
+        _to_kernel_layout(f32(f), G),
+    ]
+    if mode == "box":
+        lo = jnp.broadcast_to(u_lower, (T, B, m)) - u_hat
+        hi = jnp.broadcast_to(u_upper, (T, B, m)) - u_hat
+        ins += [_to_kernel_layout(f32(lo), G), _to_kernel_layout(f32(hi), G)]
+    elif mode == "mask":
+        ins += [_to_kernel_layout(ctrl_mask.astype(jnp.float32), G)]
+
+    def spec(x):
+        return pl.BlockSpec(
+            (1,) + x.shape[1:], lambda g: (g,) + (0,) * (x.ndim - 1),
+            memory_space=pltpu.VMEM,
+        )
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((G, T, m, n, SUBLANE, LANE), jnp.float32),  # K
+        jax.ShapeDtypeStruct((G, T, m, SUBLANE, LANE), jnp.float32),  # k
+        jax.ShapeDtypeStruct((G, T, m, SUBLANE, LANE), jnp.float32),  # free
+    ]
+    kernel = _make_kernel(T, n, m, mode, reg, pnqp_iter)
+    K_l, k_l, free_l = pl.pallas_call(
+        kernel,
+        grid=(G,),
+        in_specs=[spec(x) for x in ins],
+        out_specs=[spec(jax.ShapeDtypeStruct(s.shape, s.dtype)) for s in out_shapes],
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(*ins)
+
+    K = _from_kernel_layout(K_l)[:, :orig_B].astype(dtype)
+    k = _from_kernel_layout(k_l)[:, :orig_B].astype(dtype)
+    free = _from_kernel_layout(free_l)[:, :orig_B] > 0.5
+    n_qp = jnp.zeros((T, orig_B), jnp.int32)
+    return RiccatiResult(K, k, free, n_qp)

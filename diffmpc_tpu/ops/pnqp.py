@@ -27,7 +27,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from ..utils.batch import bmv, bquad, bdot, eclamp
+from ..utils.batch import PRECISION, bmv, bquad, bdot, eclamp
 from .smallchol import cho_solve_small, cholesky_small
 
 
@@ -144,9 +144,9 @@ def pnqp(
             upper[..., None, :],
         )  # (..., A, m)
         obj0 = _obj(H, q, x)
-        objs = 0.5 * jnp.einsum("...ai,...ij,...aj->...a", cand, H, cand) + jnp.einsum(
-            "...j,...aj->...a", q, cand
-        )
+        objs = 0.5 * jnp.einsum(
+            "...ai,...ij,...aj->...a", cand, H, cand, precision=PRECISION
+        ) + jnp.einsum("...j,...aj->...a", q, cand, precision=PRECISION)
         improved = objs < obj0[..., None]
         any_improved = jnp.any(improved, axis=-1)
         first = jnp.argmax(improved, axis=-1)  # first improving alpha

@@ -16,25 +16,38 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+# All library contractions run at full f32 precision. On TPU, XLA lowers
+# einsum/matmul to bf16 MXU passes by default, which accumulates ~1e-2
+# relative error through the T-step Riccati recursion — far outside the
+# 1e-4 parity budget (BASELINE.md). The matrices here are tiny (n+m <= ~8),
+# so the correctly-rounded path costs nothing; the Pallas kernels use exact
+# f32 FMAs natively.
+PRECISION = jax.lax.Precision.HIGHEST
+
 
 def bmv(m: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """Batched matrix-vector product: ``(..., i, j), (..., j) -> (..., i)``."""
-    return jnp.einsum("...ij,...j->...i", m, v)
+    return jnp.einsum("...ij,...j->...i", m, v, precision=PRECISION)
+
+
+def bmm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Batched matrix-matrix product over trailing dims, full f32 precision."""
+    return jnp.einsum("...ij,...jk->...ik", a, b, precision=PRECISION)
 
 
 def bger(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     """Batched outer product: ``(..., i), (..., j) -> (..., i, j)``."""
-    return jnp.einsum("...i,...j->...ij", x, y)
+    return jnp.einsum("...i,...j->...ij", x, y, precision=PRECISION)
 
 
 def bquad(x: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
     """Batched quadratic form ``x' M x``: ``(..., i), (..., i, i) -> (...)``."""
-    return jnp.einsum("...i,...ij,...j->...", x, m, x)
+    return jnp.einsum("...i,...ij,...j->...", x, m, x, precision=PRECISION)
 
 
 def bdot(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     """Batched inner product over the trailing dim."""
-    return jnp.einsum("...i,...i->...", x, y)
+    return jnp.einsum("...i,...i->...", x, y, precision=PRECISION)
 
 
 def bdiag(d: jnp.ndarray) -> jnp.ndarray:
