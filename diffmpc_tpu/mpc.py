@@ -231,6 +231,7 @@ def mpc_solve(
         linesearch_decay=config.linesearch_decay,
         max_linesearch_iter=config.max_linesearch_iter,
         delta_u=config.delta_u,
+        use_pallas=config.use_pallas,
     )
 
     # ------------------------------------------------------------------

@@ -68,6 +68,23 @@ class LqrSpec:
     linesearch_decay: float = 0.2
     max_linesearch_iter: int = 10
     delta_u: Optional[float] = None
+    use_pallas: Optional[bool] = None  # None = auto (TPU yes, CPU no)
+
+
+def _resolve_use_pallas(use_pallas: Optional[bool]) -> bool:
+    if use_pallas is not None:
+        return use_pallas
+    return jax.default_backend() not in ("cpu",)
+
+
+def _riccati(spec: LqrSpec, *args, **kwargs):
+    """Dispatch between the XLA scan and the Pallas fused kernel."""
+    if _resolve_use_pallas(spec.use_pallas):
+        from .pallas.riccati import riccati_backward_pallas
+
+        kwargs.pop("pnqp_eps", None)
+        return riccati_backward_pallas(*args, **kwargs)
+    return riccati_backward(*args, **kwargs)
 
 
 class LqrStepResult(NamedTuple):
@@ -108,7 +125,8 @@ def lqr_step(
     # delta form by construction.
     c_delta = c + bmv(C, tau_hat)
 
-    res = riccati_backward(
+    res = _riccati(
+        spec,
         C,
         c_delta,
         F,
@@ -193,9 +211,7 @@ def _lqr_fixed_point_bwd(spec, res, grads):
     # Auxiliary (adjoint) LQR: min 0.5 p'C p + r'p, A p = 0, tight dims
     # frozen. Solved by the same Riccati recursion with identity-masked
     # control dims, then a zero-residual rollout from dx_init = 0.
-    aux = riccati_backward(
-        C, r, F, None, n, ctrl_mask=tight, reg=spec.back_eps
-    )
+    aux = _riccati(spec, C, r, F, None, n, ctrl_mask=tight, reg=spec.back_eps)
     p_x, p_u = lqr_rollout(jnp.zeros_like(x_init), F, None, aux.K, aux.k)
     p = jnp.concatenate([p_x, p_u], axis=-1)
     tau = jnp.concatenate([x_star, u_star], axis=-1)

@@ -116,6 +116,10 @@ class MPCConfig:
     # Solver compute dtype. f32 is the TPU-native choice; f64 is available on
     # CPU for high-accuracy parity fixtures (SURVEY.md §7 hard-part 3).
     dtype: jnp.dtype = jnp.float32
+    # Pallas fused Riccati kernel (SURVEY.md §7 stage 8). None = auto: on for
+    # TPU backends, off on CPU (where the XLA scan path is used / the kernel
+    # would need interpret mode).
+    use_pallas: Optional[bool] = None
 
     @property
     def n_tau(self) -> int:
