@@ -55,6 +55,67 @@ class PendulumDx(Dynamics):
         newth = th + self.dt * newthdot
         return jnp.stack([jnp.cos(newth), jnp.sin(newth), newthdot], axis=-1)
 
+    def grad_input(self, x, u):
+        """Closed-form Jacobians of the Euler step (ref C6 analytic path).
+
+        With r2 = cos^2 + sin^2 (= 1 on the constraint manifold),
+        d th / d cos = -sin / r2, d th / d sin = cos / r2.
+        Saturations (torque clamp, speed clamp) zero the relevant rows,
+        matching autodiff through ``jnp.clip``.
+        """
+        g, m, l = self.params[0], self.params[1], self.params[2]
+        cos_th, sin_th, thdot = x[..., 0], x[..., 1], x[..., 2]
+        uu = u[..., 0]
+        dt = self.dt
+
+        u_sat = (
+            (uu <= -self.max_torque) | (uu >= self.max_torque)
+            if self.clamp_ctrl
+            else jnp.zeros_like(uu, bool)
+        )
+        du = jnp.where(u_sat, 0.0, 1.0)
+
+        r2 = cos_th * cos_th + sin_th * sin_th
+        dth_dcos = -sin_th / r2
+        dth_dsin = cos_th / r2
+
+        # newthdot = thdot + dt*(1.5 g/l sin + 3 u/(m l^2)), then speed clamp
+        a_sin = dt * 1.5 * g / l
+        b_u = dt * 3.0 / (m * l * l)
+        ntd_pre = thdot + a_sin * sin_th + b_u * jnp.clip(
+            uu, -self.max_torque, self.max_torque
+        ) if self.clamp_ctrl else thdot + a_sin * sin_th + b_u * uu
+        sat = (ntd_pre <= -self.max_speed) | (ntd_pre >= self.max_speed)
+        dsat = jnp.where(sat, 0.0, 1.0)
+
+        d_ntd_dcos = jnp.zeros_like(cos_th)
+        d_ntd_dsin = dsat * a_sin
+        d_ntd_dthdot = dsat * 1.0
+        d_ntd_du = dsat * b_u * du
+
+        # newth = th + dt * newthdot
+        d_nth_dcos = dth_dcos + dt * d_ntd_dcos
+        d_nth_dsin = dth_dsin + dt * d_ntd_dsin
+        d_nth_dthdot = dt * d_ntd_dthdot
+        d_nth_du = dt * d_ntd_du
+
+        ntd = jnp.clip(ntd_pre, -self.max_speed, self.max_speed)
+        th = jnp.arctan2(sin_th, cos_th)
+        nth = th + dt * ntd
+        c_n, s_n = jnp.cos(nth), jnp.sin(nth)
+
+        # rows: (cos nth, sin nth, ntd); chain through nth
+        A = jnp.stack(
+            [
+                jnp.stack([-s_n * d_nth_dcos, -s_n * d_nth_dsin, -s_n * d_nth_dthdot], -1),
+                jnp.stack([c_n * d_nth_dcos, c_n * d_nth_dsin, c_n * d_nth_dthdot], -1),
+                jnp.stack([d_ntd_dcos, d_ntd_dsin, d_ntd_dthdot], -1),
+            ],
+            axis=-2,
+        )
+        B = jnp.stack([-s_n * d_nth_du, c_n * d_nth_du, d_ntd_du], -1)[..., None]
+        return A, B
+
     def get_true_obj(self, dtype=None):
         """Goal-state quadratic cost ingredients (ref C6 ``get_true_obj``):
         returns ``(q, p)`` with ``C = diag(q)``, ``c = p`` so the cost

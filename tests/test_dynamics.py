@@ -69,6 +69,21 @@ def test_ctrl_passthrough_composition():
     np.testing.assert_allclose(np.asarray(Bm), np.asarray(Ba), atol=1e-10)
 
 
+def test_pendulum_analytic_jacobians_match_autodiff():
+    """Closed-form grad_input vs autodiff, including saturated regions
+    (ref GradMethods.ANALYTIC / ANALYTIC_CHECK semantics)."""
+    dx = PendulumDx.default(jnp.float64)
+    rng = np.random.default_rng(31)
+    th = rng.uniform(-np.pi, np.pi, 200)
+    thdot = rng.uniform(-9, 9, 200)  # beyond the +-8 speed clamp
+    u = jnp.asarray(rng.uniform(-3, 3, (200, 1)))  # beyond the +-2 torque clamp
+    x = jnp.asarray(np.stack([np.cos(th), np.sin(th), thdot], -1))
+    A_an, B_an = dx.grad_input(x, u)
+    A_ad, B_ad = autodiff_grad_input(dx.forward, x, u)
+    np.testing.assert_allclose(np.asarray(A_an), np.asarray(A_ad), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(B_an), np.asarray(B_ad), atol=1e-12)
+
+
 def test_pendulum_step_hand_computed():
     """One Euler step vs hand-computed ODE values (ref C6 semantics)."""
     dx = PendulumDx.default(jnp.float64)
