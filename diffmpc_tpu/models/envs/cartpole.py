@@ -8,6 +8,7 @@ Barto-Sutton cartpole ODE Euler-integrated in the cos/sin angle encoding.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -58,6 +59,37 @@ class CartpoleDx(Dynamics):
         return jnp.stack(
             [p_new, pdot_new, jnp.cos(th_new), jnp.sin(th_new), thdot_new], axis=-1
         )
+
+    def kernel_params(self):
+        return self.params
+
+    def entries_step(self, params, x_entries, u_entries):
+        """Entry-wise (batch-minor) dynamics step for Pallas kernel fusion;
+        mathematically identical to :meth:`forward` (angle update via the
+        rotation identity — ``arctan2`` is not lowerable in Mosaic TPU)."""
+        g, m_cart, m_pole, l = params
+        total_mass = m_cart + m_pole
+        polemass_l = m_pole * l
+        p, pdot, cos_th, sin_th, thdot = x_entries
+        force = u_entries[0]
+        if self.clamp_ctrl:
+            force = jnp.clip(force, -self.max_force, self.max_force)
+        temp = (force + polemass_l * thdot * thdot * sin_th) / total_mass
+        th_acc = (g * sin_th - cos_th * temp) / (
+            l * (4.0 / 3.0 - m_pole * cos_th * cos_th / total_mass)
+        )
+        p_acc = temp - polemass_l * th_acc * cos_th / total_mass
+        inv_r = jax.lax.rsqrt(cos_th * cos_th + sin_th * sin_th)
+        c_hat, s_hat = cos_th * inv_r, sin_th * inv_r
+        d = self.dt * thdot
+        cd, sd = jnp.cos(d), jnp.sin(d)
+        return [
+            p + self.dt * pdot,
+            pdot + self.dt * p_acc,
+            c_hat * cd - s_hat * sd,
+            s_hat * cd + c_hat * sd,
+            thdot + self.dt * th_acc,
+        ]
 
     def get_true_obj(self, dtype=None):
         """Quadratic cost toward the upright, centered pole (ref C7)."""

@@ -16,6 +16,7 @@ with ``dt = 0.05`` and ``thdot`` clamped to ``+-max_speed = 8``.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -54,6 +55,33 @@ class PendulumDx(Dynamics):
         newthdot = jnp.clip(newthdot, -self.max_speed, self.max_speed)
         newth = th + self.dt * newthdot
         return jnp.stack([jnp.cos(newth), jnp.sin(newth), newthdot], axis=-1)
+
+    def kernel_params(self):
+        """Parameter vector consumed by :meth:`entries_step` inside Pallas
+        kernels (see ops/pallas/rollout.py)."""
+        return self.params
+
+    def entries_step(self, params, x_entries, u_entries):
+        """Entry-wise (batch-minor) dynamics step for kernel fusion: each
+        entry is an ``(S, 128)`` tile over scenarios; ``params`` is a list of
+        scalars. Mathematically identical to :meth:`forward`, but the angle
+        update uses the rotation identity
+        ``(cos, sin)(th + d) = (cos th cos d - sin th sin d, ...)`` instead
+        of ``arctan2`` (not lowerable in Mosaic TPU)."""
+        g, m, l = params[0], params[1], params[2]
+        cos_th, sin_th, thdot = x_entries
+        uu = u_entries[0]
+        if self.clamp_ctrl:
+            uu = jnp.clip(uu, -self.max_torque, self.max_torque)
+        newthdot = thdot + self.dt * (
+            3.0 * g / (2.0 * l) * sin_th + 3.0 * uu / (m * l * l)
+        )
+        newthdot = jnp.clip(newthdot, -self.max_speed, self.max_speed)
+        inv_r = jax.lax.rsqrt(cos_th * cos_th + sin_th * sin_th)
+        c_hat, s_hat = cos_th * inv_r, sin_th * inv_r
+        d = self.dt * newthdot
+        cd, sd = jnp.cos(d), jnp.sin(d)
+        return [c_hat * cd - s_hat * sd, s_hat * cd + c_hat * sd, newthdot]
 
     def grad_input(self, x, u):
         """Closed-form Jacobians of the Euler step (ref C6 analytic path).

@@ -317,6 +317,10 @@ def mpc_solve(
     def cond(s: Carry):
         return (s.i < config.lqr_iter) & ~jnp.all(s.done)
 
+    dyn_kernel = (
+        dx_sg if (not is_lin and hasattr(dx_sg, "entries_step")) else None
+    )
+
     def body(s: Carry) -> Carry:
         F, f = linearize_sg(s.x, s.u)
         C, c = quadraticize_sg(s.x, s.u)
@@ -333,6 +337,7 @@ def mpc_solve(
             u_upper=hi_sg,
             dynamics_fn=dynamics_fn,
             cost_fn=traj_cost_fn,
+            dyn_kernel=dyn_kernel,
         )
         improvement = s.best_obj - out.objs
         # best tracks any strict improvement; the significance threshold

@@ -110,6 +110,7 @@ def lqr_step(
     u_upper: Optional[jnp.ndarray] = None,
     dynamics_fn=None,
     cost_fn=None,
+    dyn_kernel=None,
 ) -> LqrStepResult:
     """One LQR/box-DDP step around ``(x_hat, u_hat)`` (SURVEY.md §3.2).
 
@@ -138,24 +139,53 @@ def lqr_step(
         reg=spec.reg,
         pnqp_iter=spec.pnqp_iter,
     )
-    ls = lqr_linesearch_rollout(
-        x_init,
-        C,
-        c,
-        F,
-        f,
-        res.K,
-        res.k,
-        x_hat,
-        u_hat,
-        u_lower=u_lower,
-        u_upper=u_upper,
-        delta_u=spec.delta_u,
-        dynamics_fn=dynamics_fn,
-        cost_fn=cost_fn,
-        decay=spec.linesearch_decay,
-        max_iter=spec.max_linesearch_iter,
+    # The fused Pallas line-search kernel handles quadratic costs with
+    # linear or `entries_step`-fusable dynamics; anything else (callable
+    # costs, opaque user models) takes the XLA ladder.
+    fuse_ls = (
+        _resolve_use_pallas(spec.use_pallas)
+        and cost_fn is None
+        and (dynamics_fn is None or dyn_kernel is not None)
     )
+    if fuse_ls:
+        from .pallas.rollout import linesearch_rollout_pallas
+
+        ls = linesearch_rollout_pallas(
+            x_init,
+            C,
+            c,
+            F,
+            f,
+            res.K,
+            res.k,
+            x_hat,
+            u_hat,
+            u_lower=u_lower,
+            u_upper=u_upper,
+            delta_u=spec.delta_u,
+            dyn=dyn_kernel if dynamics_fn is not None else None,
+            decay=spec.linesearch_decay,
+            max_iter=spec.max_linesearch_iter,
+        )
+    else:
+        ls = lqr_linesearch_rollout(
+            x_init,
+            C,
+            c,
+            F,
+            f,
+            res.K,
+            res.k,
+            x_hat,
+            u_hat,
+            u_lower=u_lower,
+            u_upper=u_upper,
+            delta_u=spec.delta_u,
+            dynamics_fn=dynamics_fn,
+            cost_fn=cost_fn,
+            decay=spec.linesearch_decay,
+            max_iter=spec.max_linesearch_iter,
+        )
     return LqrStepResult(
         ls.xs, ls.us, ls.objs, ls.alpha, ls.improved, res.free_mask, res.n_qp_iter
     )
