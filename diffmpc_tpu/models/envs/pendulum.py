@@ -96,8 +96,12 @@ class PendulumDx(Dynamics):
         uu = u[..., 0]
         dt = self.dt
 
+        # STRICT inequalities: at exactly the clamp boundary jnp.clip
+        # propagates derivative 1, and MPC controls sit exactly on the box
+        # bound, so the boundary convention is load-bearing for box-DDP
+        # (a zero control Jacobian there would blind the solver).
         u_sat = (
-            (uu <= -self.max_torque) | (uu >= self.max_torque)
+            (uu < -self.max_torque) | (uu > self.max_torque)
             if self.clamp_ctrl
             else jnp.zeros_like(uu, bool)
         )
@@ -113,7 +117,7 @@ class PendulumDx(Dynamics):
         ntd_pre = thdot + a_sin * sin_th + b_u * jnp.clip(
             uu, -self.max_torque, self.max_torque
         ) if self.clamp_ctrl else thdot + a_sin * sin_th + b_u * uu
-        sat = (ntd_pre <= -self.max_speed) | (ntd_pre >= self.max_speed)
+        sat = (ntd_pre < -self.max_speed) | (ntd_pre > self.max_speed)
         dsat = jnp.where(sat, 0.0, 1.0)
 
         d_ntd_dcos = jnp.zeros_like(cos_th)
