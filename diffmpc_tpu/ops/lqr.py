@@ -161,7 +161,8 @@ def riccati_backward(
 
     V0 = jnp.zeros((B, n, n), dtype=dtype)
     v0 = jnp.zeros((B, n), dtype=dtype)
-    _, out = jax.lax.scan(step, (V0, v0), xs, reverse=True)
+    with jax.named_scope("riccati_backward"):
+        _, out = jax.lax.scan(step, (V0, v0), xs, reverse=True)
     return RiccatiResult(out["K"], out["k"], out["free"], out["qp"])
 
 

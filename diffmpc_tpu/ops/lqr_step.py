@@ -224,6 +224,11 @@ def _lqr_fixed_point_fwd(spec, x_init, C, c, F, f, x_star, u_star, u_lower, u_up
 
 
 def _lqr_fixed_point_bwd(spec, res, grads):
+    with jax.named_scope("kkt_backward"):
+        return _kkt_backward_impl(spec, res, grads)
+
+
+def _kkt_backward_impl(spec, res, grads):
     x_init, C, c, F, f, x_star, u_star, u_lower, u_upper = res
     gx, gu = grads
     n = spec.n_state
