@@ -89,3 +89,27 @@ def solve_psd_small(A: jnp.ndarray, b: jnp.ndarray, jitter: float = 0.0) -> jnp.
             A = A + jitter
         return b / A
     return cho_solve_small(cholesky_small(A, jitter), b)
+
+
+def solve_general_small(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve a general (non-symmetric) tiny system ``A x = b`` by unrolled
+    Gaussian elimination WITHOUT pivoting; ``b (..., m, k)``.
+
+    Intended for well-conditioned matrices with dominant diagonal — e.g. the
+    ``I + C J`` combiners of the parallel-in-time Riccati scan, whose
+    eigenvalues are >= 1 (C, J PSD). Not safe for arbitrary matrices.
+    """
+    m = A.shape[-1]
+    if m == 1:
+        return b / A
+    # rows of the augmented system [A | b]
+    rows = [
+        jnp.concatenate([A[..., i, :], b[..., i, :]], axis=-1) for i in range(m)
+    ]
+    for j in range(m):
+        piv = rows[j][..., j : j + 1]
+        rows[j] = rows[j] / piv
+        for i in range(m):
+            if i != j:
+                rows[i] = rows[i] - rows[i][..., j : j + 1] * rows[j]
+    return jnp.stack([rows[i][..., m:] for i in range(m)], axis=-2)
