@@ -1,0 +1,67 @@
+"""Multi-host process-group initialization.
+
+The reference ships no distributed backend (SURVEY.md §2.3/§5.8 — single
+process, one device). The TPU-native equivalent is
+``jax.distributed.initialize()`` + a global batch mesh: every host runs the
+same program, the scenario batch is sharded over all devices in the pod
+(``psum``/``pmean`` ride ICI within a slice and DCN across hosts — XLA
+routes them), and per-host data loading addresses the host's addressable
+shard. No hand-written transport layer is needed or appropriate.
+
+Typical multi-host launch (driver eval config 5, 65k scenarios on v5p-16):
+
+    # identical on every host (TPU pods auto-discover coordinator):
+    from diffmpc_tpu.parallel import distributed, make_mesh
+    distributed.initialize()            # no-op on single-process setups
+    mesh = make_mesh()                  # 1-D mesh over ALL pod devices
+    step = make_dp_train_step(config, make_problem, opt, mesh, lo, hi)
+    x_local = ...                       # this host's shard of the batch
+    x_global = distributed.host_local_to_global(mesh, x_local, batch_dim=0)
+    state, stats = step(state, x_global, u_global)
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import BATCH_AXIS
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Join the multi-host process group. On TPU pods all arguments are
+    auto-discovered from the environment; on other transports pass them
+    explicitly. Safe no-op when running single-process (the reference's
+    only mode). Returns the process index."""
+    if num_processes is not None and num_processes > 1 or coordinator_address:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    else:
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            pass  # single-process / already initialized
+    return jax.process_index()
+
+
+def host_local_to_global(mesh: Mesh, local: np.ndarray, batch_dim: int = 0):
+    """Assemble a globally-sharded array from per-host local batch shards
+    (each host contributes its addressable slice of the global batch)."""
+    spec = [None] * np.ndim(local)
+    spec[batch_dim] = BATCH_AXIS
+    sharding = NamedSharding(mesh, P(*spec))
+    global_shape = list(local.shape)
+    global_shape[batch_dim] = local.shape[batch_dim] * jax.process_count()
+    return jax.make_array_from_process_local_data(
+        sharding, np.asarray(local), tuple(global_shape)
+    )

@@ -58,6 +58,50 @@ def test_pendulum_sysid_recovers_params():
     assert float(stats.converged_frac) > 0.5
 
 
+def test_nn_dynamics_imitation_gradients_flow_and_loss_decreases():
+    """NNDynamics learner (ref C5/C8): MLP weights get nonzero gradients
+    through the KKT backward and the imitation loss decreases.
+    detach_unconverged must be off — early in training nothing converges and
+    detaching would zero every gradient (box/convergence gradient death)."""
+    import jax.random as jr
+
+    from diffmpc_tpu.models import NNDynamics
+
+    dtype = jnp.float32
+    B, T = 32, 6
+    true_dx = PendulumDx.default(dtype)
+    q, p = true_dx.get_true_obj()
+    cost = QuadCost(jnp.diag(q), p)
+    config = MPCConfig(
+        n_state=3, n_ctrl=1, T=T, lqr_iter=3, eps=1e-5,
+        exit_unconverged=False, detach_unconverged=False, dtype=dtype,
+    )
+    rng = np.random.default_rng(42)
+    th = rng.uniform(-0.6, 0.6, B)
+    x_init = jnp.asarray(
+        np.stack([np.cos(th), np.sin(th), rng.uniform(-0.5, 0.5, B)], -1), dtype
+    )
+    _, u_expert, _ = jax.jit(
+        lambda x: generate_expert_data(config, cost, true_dx, x, -2.0, 2.0)
+    )(x_init)
+
+    nn0 = NNDynamics.init(jr.PRNGKey(0), 3, 1, hidden=(16,), residual=True, dtype=dtype)
+
+    def make_problem(params):
+        return cost, nn0.replace(weights=params["w"], biases=params["b"])
+
+    opt = optax.adam(3e-3)
+    step = make_dp_train_step(config, make_problem, opt, None, -2.0, 2.0)
+    state = init_train_state({"w": nn0.weights, "b": nn0.biases}, opt)
+    losses, gnorms = [], []
+    for _ in range(25):
+        state, stats = step(state, x_init, u_expert)
+        losses.append(float(stats.loss))
+        gnorms.append(float(stats.grad_norm))
+    assert max(gnorms) > 0, "gradients must reach the network weights"
+    assert losses[-1] < 0.95 * losses[0], losses[::6]
+
+
 def test_cartpole_cost_and_dynamics_learning_decreases_loss():
     dtype = jnp.float32
     B, T = 32, 10
