@@ -44,8 +44,61 @@ def main():
         us, objs, conv = solve(xs[i % n_sets])
     jax.block_until_ready((us, objs, conv))
     dt = time.perf_counter() - t0
-
     solves_per_s = n_timed * B / dt
+
+    # secondary tracked metrics (BASELINE.md "Riccati pass latency" row +
+    # end-to-end training-step throughput) — written to a side file; the
+    # driver contract stays one JSON line on stdout.
+    details = {
+        "solves_per_s": round(solves_per_s, 1),
+        "mean_obj": float(jnp.mean(objs)),
+        "converged_frac": float(jnp.mean(conv)),
+    }
+    try:
+        from diffmpc_tpu.mpc import _expand_cost
+        from diffmpc_tpu.ops.linearize import linearize_dynamics
+        from diffmpc_tpu.ops.pallas.riccati import riccati_backward_pallas
+
+        u0 = jnp.zeros((T, B, 1), jnp.float32)
+        xs0 = jnp.broadcast_to(xs[0], (T, B, 3))
+        qc = _expand_cost(cost, T, B, jnp.float32)
+        lin = jax.jit(lambda a, b: linearize_dynamics(dx, a, b))(xs0, u0)
+        lo = jnp.full((T, B, 1), -2.0)
+        hi = jnp.full((T, B, 1), 2.0)
+        ric = jax.jit(
+            lambda C, c, F, f, uh: riccati_backward_pallas(
+                C, c, F, f, 3, u_lower=lo, u_upper=hi, u_hat=uh
+            )
+        )
+        jax.block_until_ready(ric(qc.C, qc.c, lin.F, lin.f, u0))
+        t0 = time.perf_counter()
+        for _ in range(50):
+            r = ric(qc.C, qc.c, lin.F, lin.f, u0)
+        jax.block_until_ready(r)
+        details["riccati_pass_ms"] = round((time.perf_counter() - t0) / 50 * 1e3, 4)
+
+        def train_loss(params, x):
+            from diffmpc_tpu import mpc_solve
+
+            sol = mpc_solve(
+                config, x, cost, dx.replace(params=params), u_lower=-2.0, u_upper=2.0
+            )
+            return jnp.mean(sol.us**2)
+
+        g = jax.jit(jax.grad(train_loss))
+        jax.block_until_ready(g(dx.params, xs[0]))
+        t0 = time.perf_counter()
+        for i in range(12):
+            r = g(dx.params, xs[i % n_sets])
+        jax.block_until_ready(r)
+        details["solve_plus_grad_per_s"] = round(
+            12 * B / (time.perf_counter() - t0), 1
+        )
+    except Exception as e:  # pragma: no cover - secondary metrics best-effort
+        details["secondary_error"] = repr(e)
+    with open("BENCH_DETAILS.json", "w") as fh:
+        json.dump(details, fh, indent=1)
+
     print(
         json.dumps(
             {
