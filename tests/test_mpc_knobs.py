@@ -1,0 +1,105 @@
+"""Remaining MPC configuration knobs (ref C4 surface): delta_u trust region,
+u_init warm start, prev_ctrl, backprop=False, verbose path, FINITE_DIFF."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffmpc_tpu import MPC, MPCConfig, QuadCost, LinDx, mpc_solve
+from diffmpc_tpu.models import PendulumDx
+from oracles import random_lqr_problem
+from test_mpc import swingup_problem
+
+
+def test_delta_u_trust_region_limits_step():
+    """With delta_u, each iteration's controls stay within +-delta_u of the
+    previous trajectory's controls; since u starts at 0, after one LQR
+    iteration |u| <= delta_u."""
+    B, T = 4, 10
+    dx, cost, x_init = swingup_problem(B, T, th0_frac=0.6)
+    small = 0.05
+    ctrl = MPC(
+        3, 1, T, u_lower=-2.0, u_upper=2.0, lqr_iter=1, delta_u=small,
+        exit_unconverged=False,
+    )
+    sol = ctrl.solve(x_init, cost, dx)
+    assert float(jnp.max(jnp.abs(sol.us))) <= small + 1e-6
+
+    free = MPC(3, 1, T, u_lower=-2.0, u_upper=2.0, lqr_iter=1, exit_unconverged=False)
+    sol_free = free.solve(x_init, cost, dx)
+    assert float(jnp.max(jnp.abs(sol_free.us))) > small
+
+
+def test_u_init_warm_start_changes_first_iteration_only():
+    """Warm start must be respected (initial trajectory rolls u_init) and a
+    good warm start must not hurt the final objective."""
+    B, T = 4, 15
+    dx, cost, x_init = swingup_problem(B, T, th0_frac=0.6)
+    cold = MPC(3, 1, T, u_lower=-2.0, u_upper=2.0, lqr_iter=20, exit_unconverged=False)
+    sol_cold = cold.solve(x_init, cost, dx)
+    warm = MPC(
+        3, 1, T, u_lower=-2.0, u_upper=2.0, lqr_iter=20, exit_unconverged=False,
+        u_init=sol_cold.us,
+    )
+    sol_warm = warm.solve(x_init, cost, dx)
+    assert bool(jnp.all(sol_warm.objs <= sol_cold.objs + 1e-5))
+    # warm start converges immediately
+    assert int(sol_warm.info.n_iters) <= int(sol_cold.info.n_iters)
+
+
+def test_prev_ctrl_enters_slew_formulation():
+    """prev_ctrl anchors the slew penalty at t=0: a large prev control pulls
+    the first control toward it compared to prev_ctrl=0."""
+    B, T = 4, 10
+    dx, cost, x_init = swingup_problem(B, T, th0_frac=0.6)
+    base = MPC(
+        3, 1, T, u_lower=-2.0, u_upper=2.0, lqr_iter=15, exit_unconverged=False,
+        slew_rate_penalty=10.0,
+    )
+    anchored = MPC(
+        3, 1, T, u_lower=-2.0, u_upper=2.0, lqr_iter=15, exit_unconverged=False,
+        slew_rate_penalty=10.0, prev_ctrl=jnp.full((B, 1), 2.0, x_init.dtype),
+    )
+    u0_base = base.solve(x_init, cost, dx).us[0]
+    u0_anch = anchored.solve(x_init, cost, dx).us[0]
+    assert float(jnp.mean(u0_anch)) > float(jnp.mean(u0_base))
+
+
+def test_backprop_false_blocks_gradients():
+    B, T = 3, 8
+    dx, cost, x_init = swingup_problem(B, T, th0_frac=0.7)
+    config = MPCConfig(
+        n_state=3, n_ctrl=1, T=T, lqr_iter=5, exit_unconverged=False,
+        backprop=False, dtype=jnp.float64,
+    )
+
+    def loss(params):
+        sol = mpc_solve(
+            config, x_init, cost, dx.replace(params=params),
+            u_lower=-2.0, u_upper=2.0,
+        )
+        return jnp.sum(sol.us**2)
+
+    g = jax.grad(loss)(dx.params)
+    np.testing.assert_allclose(np.asarray(g), 0.0)
+
+
+def test_verbose_solve_runs():
+    rng = np.random.default_rng(500)
+    T, B, n, m = 4, 2, 3, 2
+    C, c, F, f, x_init = random_lqr_problem(rng, T, B, n, m)
+    ctrl = MPC(n, m, T, lqr_iter=2, verbose=1, exit_unconverged=False)
+    ctrl(jnp.asarray(x_init), QuadCost(C, c), LinDx(F, f))  # must not raise
+
+
+def test_solution_info_stats_populated():
+    B, T = 4, 10
+    dx, cost, x_init = swingup_problem(B, T, th0_frac=0.6)
+    ctrl = MPC(3, 1, T, u_lower=-0.5, u_upper=0.5, lqr_iter=10, exit_unconverged=False)
+    sol = ctrl.solve(x_init, cost, dx)
+    info = sol.info
+    assert info.converged.shape == (B,)
+    assert float(jnp.max(info.clamp_frac)) > 0  # tight bounds must clamp
+    assert bool(jnp.all(info.mean_alpha > 0))
+    assert int(info.n_iters) >= 1
