@@ -32,6 +32,8 @@ class StepStats(NamedTuple):
     loss: jnp.ndarray  # () global mean imitation loss
     grad_norm: jnp.ndarray  # () global gradient norm
     converged_frac: jnp.ndarray  # () fraction of converged solves (global)
+    qp_residual: jnp.ndarray  # () global mean solver residual (last improvement)
+    clamp_frac: jnp.ndarray  # () global mean clamped-control fraction
 
 
 def imitation_loss(
@@ -83,14 +85,24 @@ def make_dp_train_step(
             has_aux=True,
         )(params)
         conv = jnp.mean(info.converged.astype(jnp.float32))
+        # Solver-health stats (SURVEY.md §5.5): mean last-iteration
+        # improvement (the solve residual) and clamped-control fraction.
+        resid = jnp.mean(
+            jnp.where(jnp.isfinite(info.last_improvement),
+                      jnp.abs(info.last_improvement), 0.0)
+        )
+        clamp = jnp.mean(info.clamp_frac)
         if mesh is not None:
-            # Explicit cross-device reductions (SURVEY.md §2.3 "communication
+            # Explicit cross-device reductions of the loss gradient and the
+            # QP/solver residual stats (SURVEY.md §2.3 "communication
             # backend" row: the reference ships none; psum/pmean over ICI is
             # the TPU-native equivalent).
             loss = jax.lax.pmean(loss, BATCH_AXIS)
             grads = jax.lax.pmean(grads, BATCH_AXIS)
             conv = jax.lax.pmean(conv, BATCH_AXIS)
-        return loss, grads, conv
+            resid = jax.lax.pmean(resid, BATCH_AXIS)
+            clamp = jax.lax.pmean(clamp, BATCH_AXIS)
+        return loss, grads, conv, resid, clamp
 
     if mesh is not None:
         # check_vma=False: the iLQR while_loop initializes per-element
@@ -101,7 +113,7 @@ def make_dp_train_step(
             local_grads,
             mesh=mesh,
             in_specs=(P(), P(BATCH_AXIS), P(None, BATCH_AXIS)),
-            out_specs=(P(), P(), P()),
+            out_specs=(P(), P(), P(), P(), P()),
             check_vma=False,
         )
     else:
@@ -109,11 +121,11 @@ def make_dp_train_step(
 
     @jax.jit
     def step(state: TrainState, x_init, u_expert):
-        loss, grads, conv = grads_fn(state.params, x_init, u_expert)
+        loss, grads, conv, resid, clamp = grads_fn(state.params, x_init, u_expert)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         gnorm = optax.global_norm(grads)
-        return TrainState(params, opt_state), StepStats(loss, gnorm, conv)
+        return TrainState(params, opt_state), StepStats(loss, gnorm, conv, resid, clamp)
 
     return step
 
