@@ -56,3 +56,15 @@ def replicate(mesh: Mesh, tree):
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, replicated(mesh)), tree
     )
+
+
+def gather_results(tree):
+    """Collect sharded solve results to host numpy arrays — the all_gather
+    result-collection step of SURVEY.md §5.8. Single-host: a device_get;
+    multi-host: a cross-host allgather of each process's addressable
+    shards."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        tree = multihost_utils.process_allgather(tree, tiled=True)
+    return jax.device_get(tree)
