@@ -7,6 +7,12 @@ TPU-first design rationale.
 """
 
 from .mpc import MPC, MPCInfo, MPCSolution, mpc_solve
+from .receding import (
+    RecedingState,
+    receding_init,
+    receding_step,
+    run_receding_horizon,
+)
 from .types import GradMethods, LinDx, LineSearchConfig, MPCConfig, QuadCost
 
 __version__ = "0.1.0"
@@ -20,5 +26,9 @@ __all__ = [
     "LinDx",
     "LineSearchConfig",
     "QuadCost",
+    "RecedingState",
     "mpc_solve",
+    "receding_init",
+    "receding_step",
+    "run_receding_horizon",
 ]

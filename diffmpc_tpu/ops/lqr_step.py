@@ -77,14 +77,19 @@ def _resolve_use_pallas(use_pallas: Optional[bool]) -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
-def _riccati(spec: LqrSpec, *args, **kwargs):
-    """Dispatch between the XLA scan and the Pallas fused kernel."""
+def _riccati(spec: LqrSpec, C, c, F, f, n_state, **kwargs):
+    """Dispatch between the XLA scan and the Pallas fused kernel (falling
+    back to XLA when the horizon/problem size exceeds the kernel's VMEM
+    tile budget or the batch is too small to fill a tile)."""
     if _resolve_use_pallas(spec.use_pallas):
-        from .pallas.riccati import riccati_backward_pallas
+        from .pallas.riccati import TILE_B, fits_vmem, riccati_backward_pallas
 
-        kwargs.pop("pnqp_eps", None)
-        return riccati_backward_pallas(*args, **kwargs)
-    return riccati_backward(*args, **kwargs)
+        T, B = C.shape[0], C.shape[1]
+        m = C.shape[-1] - n_state
+        if B >= TILE_B // 2 and fits_vmem(T, n_state, m):
+            kwargs.pop("pnqp_eps", None)
+            return riccati_backward_pallas(C, c, F, f, n_state, **kwargs)
+    return riccati_backward(C, c, F, f, n_state, **kwargs)
 
 
 class LqrStepResult(NamedTuple):
@@ -142,10 +147,16 @@ def lqr_step(
     # The fused Pallas line-search kernel handles quadratic costs with
     # linear or `entries_step`-fusable dynamics; anything else (callable
     # costs, opaque user models) takes the XLA ladder.
+    from .pallas.riccati import TILE_B, fits_vmem
+
+    T, B = C.shape[0], C.shape[1]
+    m = C.shape[-1] - n
     fuse_ls = (
         _resolve_use_pallas(spec.use_pallas)
         and cost_fn is None
         and (dynamics_fn is None or dyn_kernel is not None)
+        and B >= TILE_B // 2
+        and fits_vmem(T, n, m, extra=T * (2 * n + 3 * m) * 4 * TILE_B)
     )
     if fuse_ls:
         from .pallas.rollout import linesearch_rollout_pallas

@@ -34,6 +34,24 @@ LANE = 128
 SUBLANE = 8
 TILE_B = LANE * SUBLANE  # scenarios per kernel instance
 
+# Per-instance VMEM budget for kernel inputs+outputs; beyond this the
+# block would spill/fail to fit alongside double buffering, so callers
+# fall back to the XLA scan path (see fits_vmem()).
+VMEM_BUDGET_BYTES = 10 * 1024 * 1024
+
+
+def riccati_vmem_bytes(T: int, n: int, m: int) -> int:
+    """Approximate per-tile VMEM footprint of the Riccati kernel."""
+    nm = n + m
+    per_elem = 4 * TILE_B  # f32 tiles
+    ins = T * (nm * nm + nm + n * nm + n + 2 * m)
+    outs = T * (m * n + 2 * m)
+    return (ins + outs) * per_elem
+
+
+def fits_vmem(T: int, n: int, m: int, extra: int = 0) -> bool:
+    return riccati_vmem_bytes(T, n, m) + extra <= VMEM_BUDGET_BYTES
+
 
 # ---------------------------------------------------------------------------
 # Entry-wise linear algebra on lists-of-(S,128)-tiles (generated with static
