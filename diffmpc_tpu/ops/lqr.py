@@ -222,12 +222,6 @@ def lqr_rollout(
             x_next = bmv(Ft, tau) + ft
         return x_next, (x, u)
 
-    lo_seq = (
-        jnp.broadcast_to(u_lower, (T, B, mm)) if u_lower is not None else [None] * T
-    )
-    hi_seq = (
-        jnp.broadcast_to(u_upper, (T, B, mm)) if u_upper is not None else [None] * T
-    )
     if u_lower is None:
         # Keep the scan signature uniform: bounds as +-inf arrays are avoided
         # to skip two clamps entirely when unconstrained.
@@ -242,6 +236,8 @@ def lqr_rollout(
 
         _, (xs, us) = jax.lax.scan(step_unc, x_init, (ts, F, f, K, k, x_hat, u_hat))
     else:
+        lo_seq = jnp.broadcast_to(u_lower, (T, B, mm))
+        hi_seq = jnp.broadcast_to(u_upper, (T, B, mm))
         _, (xs, us) = jax.lax.scan(
             step, x_init, (ts, F, f, K, k, x_hat, u_hat, lo_seq, hi_seq)
         )
