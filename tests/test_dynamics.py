@@ -167,3 +167,19 @@ def test_env_true_obj_minimized_at_goal():
 
         g = jax.grad(cost)(tau_goal)
         np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-12)
+
+
+def test_get_frame_renders():
+    """Smoke test the reference's get_frame surface (Agg backend)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    pend = PendulumDx.default(jnp.float64)
+    ax = pend.get_frame(jnp.asarray([np.cos(0.3), np.sin(0.3), 0.5]))
+    assert ax is not None
+    cart = CartpoleDx.default(jnp.float64)
+    ax = cart.get_frame(jnp.asarray([0.1, 0.0, np.cos(0.2), np.sin(0.2), 0.0]))
+    assert ax is not None
+    import matplotlib.pyplot as plt
+
+    plt.close("all")
