@@ -30,21 +30,26 @@ def main():
         )
         return sol.us, sol.objs, sol.info.converged
 
-    # distinct problem sets so no solve is trivially cached
+    # Distinct problem sets so no solve is trivially cached. They are
+    # solved sequentially ON DEVICE under one dispatch (lax.map) so the
+    # measurement reflects chip throughput, not host/tunnel dispatch RTT.
     n_sets = 8
-    xs = [_x_init(B, seed=s) for s in range(n_sets)]
+    xs_stack = jnp.stack([_x_init(B, seed=s) for s in range(n_sets)])
 
-    # warmup / compile
-    jax.block_until_ready(solve(xs[0]))
-    jax.block_until_ready(solve(xs[1]))
+    @jax.jit
+    def solve_many(xs):
+        return jax.lax.map(solve, xs)
 
-    n_timed = 24
+    us, objs, conv = jax.block_until_ready(solve_many(xs_stack))
+
+    n_timed = 4  # dispatches of n_sets solves each
     t0 = time.perf_counter()
-    for i in range(n_timed):
-        us, objs, conv = solve(xs[i % n_sets])
+    for _ in range(n_timed):
+        us, objs, conv = solve_many(xs_stack)
     jax.block_until_ready((us, objs, conv))
     dt = time.perf_counter() - t0
-    solves_per_s = n_timed * B / dt
+    solves_per_s = n_timed * n_sets * B / dt
+    objs, conv = objs[0], conv[0]
 
     # secondary tracked metrics (BASELINE.md "Riccati pass latency" row +
     # end-to-end training-step throughput) — written to a side file; the
@@ -60,7 +65,7 @@ def main():
         from diffmpc_tpu.ops.pallas.riccati import riccati_backward_pallas
 
         u0 = jnp.zeros((T, B, 1), jnp.float32)
-        xs0 = jnp.broadcast_to(xs[0], (T, B, 3))
+        xs0 = jnp.broadcast_to(xs_stack[0, :1], (T, B, 3))
         qc = _expand_cost(cost, T, B, jnp.float32)
         lin = jax.jit(lambda a, b: linearize_dynamics(dx, a, b))(xs0, u0)
         lo = jnp.full((T, B, 1), -2.0)
@@ -86,10 +91,10 @@ def main():
             return jnp.mean(sol.us**2)
 
         g = jax.jit(jax.grad(train_loss))
-        jax.block_until_ready(g(dx.params, xs[0]))
+        jax.block_until_ready(g(dx.params, xs_stack[0]))
         t0 = time.perf_counter()
         for i in range(12):
-            r = g(dx.params, xs[i % n_sets])
+            r = g(dx.params, xs_stack[i % n_sets])
         jax.block_until_ready(r)
         details["solve_plus_grad_per_s"] = round(
             12 * B / (time.perf_counter() - t0), 1

@@ -268,139 +268,204 @@ def mpc_solve(
         traj_cost_fn = _make_traj_cost_fn(cost_sg)
         eval_cost = traj_cost_fn
 
-    # Initial trajectory: roll u_init (or zeros) through the dynamics.
-    if u_init is None:
-        u0 = jnp.zeros((T, B, m), dtype)
-    else:
-        u0 = jnp.asarray(u_init, dtype)
-        if u0.ndim == 2:
-            u0 = jnp.broadcast_to(u0[:, None], (T, B, m))
-    if constrained:
-        u0 = jnp.clip(u0, lo_sg, hi_sg)
+    # ------------------------------------------------------------------
+    # Fast path: the fully-fused Pallas iLQR kernel (ops/pallas/ilqr.py)
+    # covers the production shape — QuadCost + box bounds + entries-fusable
+    # nonlinear dynamics + zero-control start — running the WHOLE solve in
+    # one launch. Everything else uses the general XLA orchestration below.
+    # ------------------------------------------------------------------
+    from .ops.lqr_step import _resolve_use_pallas
 
-    def init_rollout(us):
-        def step(x, inp):
-            ut, t = inp
-            return true_dynamics_step(x, ut, t), x
+    use_fused = False
+    if (
+        is_quad
+        and constrained
+        and not is_lin
+        and u_init is None
+        and hasattr(dx_sg, "entries_step")
+        and hasattr(dx_sg, "kernel_params")
+        and config.grad_method != GradMethods.FINITE_DIFF
+        and config.verbose <= 0
+        and _resolve_use_pallas(config.use_pallas)
+    ):
+        from .ops.pallas.riccati import TILE_B, fits_vmem
 
-        _, xs = jax.lax.scan(step, x_init_sg, (us, jnp.arange(T)))
-        return xs
+        scratch_bytes = config.T * (2 * n + 3 * m + m * n) * 4 * TILE_B
+        use_fused = B >= TILE_B // 2 and fits_vmem(T, n, m, extra=scratch_bytes)
 
-    x0 = init_rollout(u0)
-    obj0 = eval_cost(x0, u0)
+    if use_fused:
+        from .ops.pallas.ilqr import ilqr_solve_fused
 
-    def linearize_sg(xs, us):
-        if is_lin:
-            return dx_sg.F, dx_sg.f
-        lin = linearize_dynamics(dx_sg, xs, us, config.grad_method)
-        return lin.F, lin.f
-
-    def quadraticize_sg(xs, us):
-        if is_quad:
-            return cost_sg.C, cost_sg.c
-        return quadraticize_cost(cost_sg, xs, us)
-
-    class Carry(NamedTuple):
-        i: jnp.ndarray
-        x: jnp.ndarray
-        u: jnp.ndarray
-        best_x: jnp.ndarray
-        best_u: jnp.ndarray
-        best_obj: jnp.ndarray
-        n_not_improved: jnp.ndarray
-        last_improvement: jnp.ndarray
-        done: jnp.ndarray
-        alpha: jnp.ndarray
-        clamp_frac: jnp.ndarray
-        qp_iters: jnp.ndarray
-
-    def cond(s: Carry):
-        return (s.i < config.lqr_iter) & ~jnp.all(s.done)
-
-    dyn_kernel = (
-        dx_sg if (not is_lin and hasattr(dx_sg, "entries_step")) else None
-    )
-
-    def body(s: Carry) -> Carry:
-        F, f = linearize_sg(s.x, s.u)
-        C, c = quadraticize_sg(s.x, s.u)
-        out = lqr_step(
-            spec,
+        fr = ilqr_solve_fused(
             x_init_sg,
-            C,
-            c,
-            F,
-            f,
-            s.x,
-            s.u,
-            u_lower=lo_sg,
-            u_upper=hi_sg,
-            dynamics_fn=dynamics_fn,
-            cost_fn=traj_cost_fn,
-            dyn_kernel=dyn_kernel,
+            cost_sg.C,
+            cost_sg.c,
+            dx_sg,
+            lo_sg,
+            hi_sg,
+            lqr_iter=config.lqr_iter,
+            pnqp_iter=min(config.pnqp_iter, 8),
+            reg=config.back_eps,
+            decay=config.linesearch_decay,
+            max_linesearch_iter=config.max_linesearch_iter,
+            delta_u=config.delta_u,
+            eps=config.eps,
+            best_cost_eps=config.best_cost_eps,
+            not_improved_lim=config.not_improved_lim,
         )
-        improvement = s.best_obj - out.objs
-        # best tracks any strict improvement; the significance threshold
-        # best_cost_eps only drives the not-improved counter (ref semantics).
-        improved = out.objs < s.best_obj
-        improved_sig = out.objs < s.best_obj - config.best_cost_eps
-        best_obj = jnp.where(improved, out.objs, s.best_obj)
-        sel = improved[None, :, None]
-        best_x = jnp.where(sel, out.xs, s.best_x)
-        best_u = jnp.where(sel, out.us, s.best_u)
-        n_not_improved = jnp.where(improved_sig, 0, s.n_not_improved + 1)
-        newly_done = (improvement < config.eps) | (
-            n_not_improved >= config.not_improved_lim
+        best_x, best_u = detach(fr.xs), detach(fr.us)
+        converged = fr.converged
+        tol = jnp.asarray(config.tight_eps, dtype)
+        at_bound = (best_u <= lo_sg + tol) | (best_u >= hi_sg - tol)
+        stats_n_iters = jnp.asarray(config.lqr_iter, jnp.int32)
+        stats = dict(
+            last_improvement=fr.last_improvement,
+            alpha=fr.alpha,
+            clamp_frac=jnp.mean(at_bound.astype(dtype), axis=(0, 2)),
+            qp_iters=jnp.zeros((B,), dtype),
         )
-        # Frozen elements keep their state; active ones move to the new
-        # trajectory (even if worse — best_* preserves the winner).
-        act = ~s.done
-        sel_a = act[None, :, None]
-        x = jnp.where(sel_a, out.xs, s.x)
-        u = jnp.where(sel_a, out.us, s.u)
-        if config.verbose > 0:
-            jax.debug.print(
-                "ilqr iter {i}: mean obj {o:.6f} mean alpha {a:.3f}",
-                i=s.i,
-                o=jnp.mean(best_obj),
-                a=jnp.mean(out.alpha),
-            )
-        return Carry(
-            i=s.i + 1,
-            x=x,
-            u=u,
-            best_x=best_x,
-            best_u=best_u,
-            best_obj=best_obj,
-            n_not_improved=n_not_improved,
-            last_improvement=jnp.where(act, improvement, s.last_improvement),
-            done=s.done | newly_done,
-            alpha=jnp.where(act, out.alpha, s.alpha),
-            clamp_frac=jnp.where(
-                act, 1.0 - jnp.mean(out.free_mask.astype(dtype), axis=(0, 2)), s.clamp_frac
-            ),
-            qp_iters=jnp.where(
-                act, jnp.mean(out.n_qp_iter.astype(dtype), axis=0), s.qp_iters
-            ),
+    else:
+        # Initial trajectory: roll u_init (or zeros) through the dynamics.
+        if u_init is None:
+            u0 = jnp.zeros((T, B, m), dtype)
+        else:
+            u0 = jnp.asarray(u_init, dtype)
+            if u0.ndim == 2:
+                u0 = jnp.broadcast_to(u0[:, None], (T, B, m))
+        if constrained:
+            u0 = jnp.clip(u0, lo_sg, hi_sg)
+
+        def init_rollout(us):
+            def step(x, inp):
+                ut, t = inp
+                return true_dynamics_step(x, ut, t), x
+
+            _, xs = jax.lax.scan(step, x_init_sg, (us, jnp.arange(T)))
+            return xs
+
+        x0 = init_rollout(u0)
+        obj0 = eval_cost(x0, u0)
+
+        def linearize_sg(xs, us):
+            if is_lin:
+                return dx_sg.F, dx_sg.f
+            lin = linearize_dynamics(dx_sg, xs, us, config.grad_method)
+            return lin.F, lin.f
+
+        def quadraticize_sg(xs, us):
+            if is_quad:
+                return cost_sg.C, cost_sg.c
+            return quadraticize_cost(cost_sg, xs, us)
+
+        class Carry(NamedTuple):
+            i: jnp.ndarray
+            x: jnp.ndarray
+            u: jnp.ndarray
+            best_x: jnp.ndarray
+            best_u: jnp.ndarray
+            best_obj: jnp.ndarray
+            n_not_improved: jnp.ndarray
+            last_improvement: jnp.ndarray
+            done: jnp.ndarray
+            alpha: jnp.ndarray
+            clamp_frac: jnp.ndarray
+            qp_iters: jnp.ndarray
+
+        def cond(s: Carry):
+            return (s.i < config.lqr_iter) & ~jnp.all(s.done)
+
+        dyn_kernel = (
+            dx_sg if (not is_lin and hasattr(dx_sg, "entries_step")) else None
         )
 
-    init = Carry(
-        i=jnp.zeros((), jnp.int32),
-        x=x0,
-        u=u0,
-        best_x=x0,
-        best_u=u0,
-        best_obj=obj0,
-        n_not_improved=jnp.zeros((B,), jnp.int32),
-        last_improvement=jnp.full((B,), jnp.inf, dtype),
-        done=jnp.zeros((B,), bool),
-        alpha=jnp.ones((B,), dtype),
-        clamp_frac=jnp.zeros((B,), dtype),
-        qp_iters=jnp.zeros((B,), dtype),
-    )
-    final = jax.lax.while_loop(cond, body, init)
-    best_x, best_u = detach(final.best_x), detach(final.best_u)
-    converged = final.last_improvement < config.eps
+        def body(s: Carry) -> Carry:
+            F, f = linearize_sg(s.x, s.u)
+            C, c = quadraticize_sg(s.x, s.u)
+            out = lqr_step(
+                spec,
+                x_init_sg,
+                C,
+                c,
+                F,
+                f,
+                s.x,
+                s.u,
+                u_lower=lo_sg,
+                u_upper=hi_sg,
+                dynamics_fn=dynamics_fn,
+                cost_fn=traj_cost_fn,
+                dyn_kernel=dyn_kernel,
+            )
+            improvement = s.best_obj - out.objs
+            # best tracks any strict improvement; the significance threshold
+            # best_cost_eps only drives the not-improved counter (ref semantics).
+            improved = out.objs < s.best_obj
+            improved_sig = out.objs < s.best_obj - config.best_cost_eps
+            best_obj = jnp.where(improved, out.objs, s.best_obj)
+            sel = improved[None, :, None]
+            best_x = jnp.where(sel, out.xs, s.best_x)
+            best_u = jnp.where(sel, out.us, s.best_u)
+            n_not_improved = jnp.where(improved_sig, 0, s.n_not_improved + 1)
+            newly_done = (improvement < config.eps) | (
+                n_not_improved >= config.not_improved_lim
+            )
+            # Frozen elements keep their state; active ones move to the new
+            # trajectory (even if worse — best_* preserves the winner).
+            act = ~s.done
+            sel_a = act[None, :, None]
+            x = jnp.where(sel_a, out.xs, s.x)
+            u = jnp.where(sel_a, out.us, s.u)
+            if config.verbose > 0:
+                jax.debug.print(
+                    "ilqr iter {i}: mean obj {o:.6f} mean alpha {a:.3f}",
+                    i=s.i,
+                    o=jnp.mean(best_obj),
+                    a=jnp.mean(out.alpha),
+                )
+            return Carry(
+                i=s.i + 1,
+                x=x,
+                u=u,
+                best_x=best_x,
+                best_u=best_u,
+                best_obj=best_obj,
+                n_not_improved=n_not_improved,
+                last_improvement=jnp.where(act, improvement, s.last_improvement),
+                done=s.done | newly_done,
+                alpha=jnp.where(act, out.alpha, s.alpha),
+                clamp_frac=jnp.where(
+                    act, 1.0 - jnp.mean(out.free_mask.astype(dtype), axis=(0, 2)), s.clamp_frac
+                ),
+                qp_iters=jnp.where(
+                    act, jnp.mean(out.n_qp_iter.astype(dtype), axis=0), s.qp_iters
+                ),
+            )
+
+        init = Carry(
+            i=jnp.zeros((), jnp.int32),
+            x=x0,
+            u=u0,
+            best_x=x0,
+            best_u=u0,
+            best_obj=obj0,
+            n_not_improved=jnp.zeros((B,), jnp.int32),
+            last_improvement=jnp.full((B,), jnp.inf, dtype),
+            done=jnp.zeros((B,), bool),
+            alpha=jnp.ones((B,), dtype),
+            clamp_frac=jnp.zeros((B,), dtype),
+            qp_iters=jnp.zeros((B,), dtype),
+        )
+        final = jax.lax.while_loop(cond, body, init)
+        best_x, best_u = detach(final.best_x), detach(final.best_u)
+        converged = final.last_improvement < config.eps
+        stats_n_iters = final.i
+        stats = dict(
+            last_improvement=final.last_improvement,
+            alpha=final.alpha,
+            clamp_frac=final.clamp_frac,
+            qp_iters=final.qp_iters,
+        )
+
 
     # ------------------------------------------------------------------
     # Differentiable fixed-point attach (the reference's final no-op
@@ -438,11 +503,11 @@ def mpc_solve(
 
     info = MPCInfo(
         converged=converged,
-        n_iters=final.i,
-        last_improvement=final.last_improvement,
-        mean_alpha=final.alpha,
-        clamp_frac=final.clamp_frac,
-        qp_iters=final.qp_iters,
+        n_iters=stats_n_iters,
+        last_improvement=stats["last_improvement"],
+        mean_alpha=stats["alpha"],
+        clamp_frac=stats["clamp_frac"],
+        qp_iters=stats["qp_iters"],
     )
     return MPCSolution(xs, us, objs, info)
 

@@ -1,0 +1,421 @@
+"""Pallas TPU mega-kernel: the COMPLETE box-constrained iLQR solve.
+
+One launch runs everything the reference's ``MPC.forward`` hot path does
+(SURVEY.md §3.1-§3.2) for a tile of 1024 scenarios, entirely on-chip in the
+batch-minor entry layout:
+
+- per-iteration linearization of the (entries-fusable) nonlinear dynamics —
+  computed generically with in-kernel ``jax.jvp`` probes of the env's
+  ``entries_step`` (no per-env Jacobian code needed; all elementwise ops,
+  Mosaic-lowerable),
+- the delta-form Riccati backward recursion with in-kernel pnqp for box
+  limits (shared entry-tile helpers from :mod:`.riccati`),
+- the alpha-ladder line-searched rollout through the true dynamics (shared
+  logic shape with :mod:`.rollout`),
+- per-scenario masked best-trajectory / convergence bookkeeping (the
+  ``lax.while_loop`` semantics of :func:`diffmpc_tpu.mpc.mpc_solve`, as a
+  fixed-trip-count loop with per-element freezing).
+
+Between iLQR iterations NOTHING leaves VMEM: trajectories, gains and
+bookkeeping tiles live in scratch. The XLA orchestration path remains the
+general implementation (callable costs, opaque dynamics, huge horizons);
+this kernel is the speed-of-light path for the production shape
+(QuadCost + entries-fusable env + box bounds).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .riccati import (
+    LANE,
+    SUBLANE,
+    TILE_B,
+    _masked_chol_solve,
+    _pnqp_entries,
+    _from_kernel_layout,
+    _to_kernel_layout,
+)
+
+
+class FusedSolveResult(NamedTuple):
+    xs: jnp.ndarray  # (T, B, n)
+    us: jnp.ndarray  # (T, B, m)
+    objs: jnp.ndarray  # (B,)
+    converged: jnp.ndarray  # (B,) bool
+    last_improvement: jnp.ndarray  # (B,)
+    alpha: jnp.ndarray  # (B,)
+
+
+def _make_kernel(
+    T,
+    n,
+    m,
+    lqr_iter,
+    pnqp_iter,
+    reg,
+    decay,
+    n_alpha,
+    delta_u,
+    eps,
+    best_cost_eps,
+    not_improved_lim,
+    entries_step,
+    n_params,
+):
+    nm = n + m
+
+    def kernel(*refs):
+        i = 0
+        if n_params:
+            params_ref = refs[i]
+            i += 1
+        C_ref, c_ref, x0_ref, lo_ref, hi_ref = refs[i : i + 5]
+        i += 5
+        (xs_o, us_o, obj_o, conv_o, impr_o, alpha_o) = refs[i : i + 6]
+        (xh_s, uh_s, bx_s, bu_s, K_s, k_s) = refs[i + 6 : i + 12]
+
+        params = [params_ref[j, 0] for j in range(n_params)] if n_params else None
+        zero = jnp.zeros((SUBLANE, LANE), jnp.float32)
+        one = jnp.ones((SUBLANE, LANE), jnp.float32)
+
+        def dyn(x, u):
+            return entries_step(params, x, u)
+
+        def dyn_jvp(x, u, tx, tu):
+            """(A@tx + B@tu) without materializing A, B."""
+            _, out = jax.jvp(lambda xx, uu: dyn(xx, uu), (x, u), (tx, tu))
+            return out
+
+        def stage_cost(t, x, u):
+            tau = x + u
+            acc = None
+            for a in range(nm):
+                Ctau = sum(C_ref[0, t, a, b] * tau[b] for b in range(nm))
+                term = (0.5 * Ctau + c_ref[0, t, a]) * tau[a]
+                acc = term if acc is None else acc + term
+            return acc
+
+        # ---- initial trajectory: zero controls (clamped into the box) ----
+        def init_body(t, carry):
+            obj = carry[0]
+            x = list(carry[1:])
+            u = [jnp.clip(zero, lo_ref[0, t, a], hi_ref[0, t, a]) for a in range(m)]
+            for a in range(n):
+                xh_s[t, a] = x[a]
+                bx_s[t, a] = x[a]
+            for a in range(m):
+                uh_s[t, a] = u[a]
+                bu_s[t, a] = u[a]
+            obj = obj + stage_cost(t, x, u)
+            return (obj, *dyn(x, u))
+
+        x0 = [x0_ref[0, a] for a in range(n)]
+        init_out = jax.lax.fori_loop(0, T, init_body, (zero, *x0))
+        cur_obj = init_out[0]
+
+        best_obj = cur_obj
+        done = zero  # 1.0 = frozen
+        n_not_improved = zero
+        last_improvement = jnp.full((SUBLANE, LANE), jnp.inf, jnp.float32)
+        last_alpha = one
+
+        for _it in range(lqr_iter):
+            active = 1.0 - done
+
+            # ---- Riccati backward sweep (delta form) ----
+            def ric_body(s, Vv):
+                t = T - 1 - s
+                V = [[Vv[a * n + b] for b in range(n)] for a in range(n)]
+                v = [Vv[n * n + a] for a in range(n)]
+                xh = [xh_s[t, a] for a in range(n)]
+                uh = [uh_s[t, a] for a in range(m)]
+
+                # Jacobian columns via JVP probes: column j of [A B]
+                Fcols = []
+                for j in range(n):
+                    seed = [one if a == j else zero for a in range(n)]
+                    Fcols.append(dyn_jvp(xh, uh, seed, [zero] * m))
+                for j in range(m):
+                    seed = [one if a == j else zero for a in range(m)]
+                    Fcols.append(dyn_jvp(xh, uh, [zero] * n, seed))
+                # Ft[k][j] = d x_next[k] / d tau[j]
+                Ft = [[Fcols[j][k] for j in range(nm)] for k in range(n)]
+
+                # c_delta = c + C tau_hat
+                tau = xh + uh
+                cd = [
+                    c_ref[0, t, a]
+                    + sum(C_ref[0, t, a, b] * tau[b] for b in range(nm))
+                    for a in range(nm)
+                ]
+
+                # Q = C + F' V F ; q = cd + F' v
+                W = [
+                    [sum(V[k][l] * Ft[l][j] for l in range(n)) for j in range(nm)]
+                    for k in range(n)
+                ]
+                Q = [[None] * nm for _ in range(nm)]
+                for a in range(nm):
+                    for b in range(a, nm):
+                        val = C_ref[0, t, a, b] + sum(
+                            Ft[k][a] * W[k][b] for k in range(n)
+                        )
+                        Q[a][b] = val
+                        if b != a:
+                            Q[b][a] = val
+                q = [cd[a] + sum(Ft[k][a] * v[k] for k in range(n)) for a in range(nm)]
+
+                Quu = [[Q[n + a][n + b] for b in range(m)] for a in range(m)]
+                Qux = [[Q[n + a][b] for b in range(n)] for a in range(m)]
+                qu = [q[n + a] for a in range(m)]
+                lo_d = [lo_ref[0, t, a] - uh[a] for a in range(m)]
+                hi_d = [hi_ref[0, t, a] - uh[a] for a in range(m)]
+                kt, frozen = _pnqp_entries(Quu, qu, lo_d, hi_d, m, pnqp_iter, reg)
+                rhs_cols = [[Qux[a][b] for a in range(m)] for b in range(n)]
+                K_cols = _masked_chol_solve(Quu, rhs_cols, frozen, m, reg)
+                K = [[-K_cols[b][a] for b in range(n)] for a in range(m)]
+
+                for a in range(m):
+                    for b in range(n):
+                        K_s[t, a, b] = K[a][b]
+                    k_s[t, a] = kt[a]
+
+                QuuK = [
+                    [sum(Quu[a][r] * K[r][j] for r in range(m)) for j in range(n)]
+                    for a in range(m)
+                ]
+                Quuk = [sum(Quu[a][r] * kt[r] for r in range(m)) for a in range(m)]
+                Vn = [[None] * n for _ in range(n)]
+                for a in range(n):
+                    for b in range(a, n):
+                        qxuK_ab = sum(Q[a][n + r] * K[r][b] for r in range(m))
+                        qxuK_ba = sum(Q[b][n + r] * K[r][a] for r in range(m))
+                        kQk = sum(K[r][a] * QuuK[r][b] for r in range(m))
+                        val = Q[a][b] + qxuK_ab + qxuK_ba + kQk
+                        Vn[a][b] = val
+                        if b != a:
+                            Vn[b][a] = val
+                vn = [
+                    q[a]
+                    + sum(Q[a][n + r] * kt[r] for r in range(m))
+                    + sum(K[r][a] * (qu[r] + Quuk[r]) for r in range(m))
+                    for a in range(n)
+                ]
+                return tuple(Vn[a][b] for a in range(n) for b in range(n)) + tuple(vn)
+
+            jax.lax.fori_loop(0, T, ric_body, tuple(zero for _ in range(n * n + n)))
+
+            # ---- line-searched rollout through the true dynamics ----
+            def control(t, x, alpha):
+                u = []
+                for a in range(m):
+                    acc = uh_s[t, a] + alpha * k_s[t, a]
+                    for j in range(n):
+                        acc = acc + K_s[t, a, j] * (x[j] - xh_s[t, j])
+                    if delta_u is not None:
+                        acc = jnp.clip(acc, uh_s[t, a] - delta_u, uh_s[t, a] + delta_u)
+                    acc = jnp.clip(acc, lo_ref[0, t, a], hi_ref[0, t, a])
+                    u.append(acc)
+                return u
+
+            def rollout_obj(alpha):
+                def body(t, carry):
+                    obj = carry[0]
+                    x = list(carry[1:])
+                    u = control(t, x, alpha)
+                    obj = obj + stage_cost(t, x, u)
+                    return (obj, *dyn(x, u))
+
+                out = jax.lax.fori_loop(0, T, body, (zero, *x0))
+                return out[0]
+
+            chosen = jnp.full((SUBLANE, LANE), decay ** (n_alpha - 1), jnp.float32)
+            has = zero
+            for a_idx in range(n_alpha):
+                alpha = decay**a_idx
+                obj_a = rollout_obj(alpha)
+                improving = (obj_a < cur_obj) & (has == 0.0)
+                chosen = jnp.where(improving, alpha, chosen)
+                has = jnp.where(improving, 1.0, has)
+
+            # replay chosen mixed-alpha rollout, writing the new trajectory
+            # (frozen elements keep their old one)
+            def replay_body(t, carry):
+                obj = carry[0]
+                x = list(carry[1:])
+                u = control(t, x, chosen)
+                for a in range(n):
+                    xh_s[t, a] = jnp.where(active > 0, x[a], xh_s[t, a])
+                for a in range(m):
+                    uh_s[t, a] = jnp.where(active > 0, u[a], uh_s[t, a])
+                obj = obj + stage_cost(t, x, u)
+                return (obj, *dyn(x, u))
+
+            new_out = jax.lax.fori_loop(0, T, replay_body, (zero, *x0))
+            new_obj = new_out[0]
+            cur_obj = jnp.where(active > 0, new_obj, cur_obj)
+
+            improved = (new_obj < best_obj) & (active > 0)
+            improved_sig = (new_obj < best_obj - best_cost_eps) & (active > 0)
+            improvement = best_obj - new_obj
+            # copy improved trajectories into the best buffers
+            def best_body(t, _):
+                for a in range(n):
+                    bx_s[t, a] = jnp.where(improved, xh_s[t, a], bx_s[t, a])
+                for a in range(m):
+                    bu_s[t, a] = jnp.where(improved, uh_s[t, a], bu_s[t, a])
+                return 0
+
+            jax.lax.fori_loop(0, T, best_body, 0)
+            best_obj = jnp.where(improved, new_obj, best_obj)
+            n_not_improved = jnp.where(improved_sig, zero, n_not_improved + active)
+            last_improvement = jnp.where(active > 0, improvement, last_improvement)
+            last_alpha = jnp.where(active > 0, chosen, last_alpha)
+            newly_done = (improvement < eps) | (n_not_improved >= not_improved_lim)
+            done = jnp.maximum(done, jnp.where(newly_done, 1.0, 0.0))
+
+        # ---- emit ----
+        def emit_body(t, _):
+            for a in range(n):
+                xs_o[0, t, a] = bx_s[t, a]
+            for a in range(m):
+                us_o[0, t, a] = bu_s[t, a]
+            return 0
+
+        jax.lax.fori_loop(0, T, emit_body, 0)
+        obj_o[0, 0] = best_obj
+        conv_o[0, 0] = jnp.where(last_improvement < eps, 1.0, 0.0)
+        impr_o[0, 0] = last_improvement
+        alpha_o[0, 0] = last_alpha
+
+    return kernel
+
+
+def ilqr_solve_fused(
+    x_init: jnp.ndarray,
+    C: jnp.ndarray,
+    c: jnp.ndarray,
+    dyn,
+    u_lower: jnp.ndarray,
+    u_upper: jnp.ndarray,
+    *,
+    lqr_iter: int = 10,
+    pnqp_iter: int = 8,
+    reg: float = 1e-9,
+    decay: float = 0.2,
+    max_linesearch_iter: int = 10,
+    delta_u: Optional[float] = None,
+    eps: float = 1e-7,
+    best_cost_eps: float = 1e-4,
+    not_improved_lim: int = 5,
+    interpret: bool = False,
+) -> FusedSolveResult:
+    """Full fused iLQR solve; contract mirrors the corresponding
+    :func:`diffmpc_tpu.mpc.mpc_solve` configuration (zero-control start).
+
+    ``C (T,B,nm,nm)``, ``c (T,B,nm)``, bounds ``(T,B,m)``; ``dyn`` must
+    provide ``kernel_params()`` and ``entries_step``.
+    """
+    T, B = C.shape[0], C.shape[1]
+    nm = C.shape[-1]
+    n = x_init.shape[-1]
+    m = nm - n
+    dtype = x_init.dtype
+
+    orig_B = B
+    pad = (-B) % TILE_B
+    if pad:
+        C = jnp.concatenate(
+            [C, jnp.broadcast_to(jnp.eye(nm, dtype=dtype), (T, pad, nm, nm))], axis=1
+        )
+        c = jnp.concatenate([c, jnp.zeros((T, pad, nm), dtype)], axis=1)
+        x_init = jnp.concatenate([x_init, jnp.zeros((pad, n), dtype)], axis=0)
+        u_lower = jnp.concatenate(
+            [jnp.broadcast_to(u_lower, (T, orig_B, m)), jnp.full((T, pad, m), -1.0, dtype)],
+            axis=1,
+        )
+        u_upper = jnp.concatenate(
+            [jnp.broadcast_to(u_upper, (T, orig_B, m)), jnp.full((T, pad, m), 1.0, dtype)],
+            axis=1,
+        )
+        B += pad
+    G = B // TILE_B
+
+    f32 = lambda x: x.astype(jnp.float32)
+    params_arr = dyn.kernel_params().astype(jnp.float32).reshape(-1, 1)
+    n_params = params_arr.shape[0]
+
+    ins = [params_arr]
+    in_specs = [
+        pl.BlockSpec((n_params, 1), lambda g: (0, 0), memory_space=pltpu.SMEM)
+    ]
+
+    def add(x):
+        ins.append(x)
+        in_specs.append(
+            pl.BlockSpec(
+                (1,) + x.shape[1:],
+                lambda g, nd=x.ndim: (g,) + (0,) * (nd - 1),
+                memory_space=pltpu.VMEM,
+            )
+        )
+
+    add(_to_kernel_layout(f32(C), G))
+    add(_to_kernel_layout(f32(c), G))
+    add(_to_kernel_layout(f32(x_init)[None], G)[:, 0])  # (G, n, S, 128)
+    add(_to_kernel_layout(f32(jnp.broadcast_to(u_lower, (T, B, m))), G))
+    add(_to_kernel_layout(f32(jnp.broadcast_to(u_upper, (T, B, m))), G))
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((G, T, n, SUBLANE, LANE), jnp.float32),  # xs
+        jax.ShapeDtypeStruct((G, T, m, SUBLANE, LANE), jnp.float32),  # us
+        jax.ShapeDtypeStruct((G, 1, SUBLANE, LANE), jnp.float32),  # obj
+        jax.ShapeDtypeStruct((G, 1, SUBLANE, LANE), jnp.float32),  # conv
+        jax.ShapeDtypeStruct((G, 1, SUBLANE, LANE), jnp.float32),  # last impr
+        jax.ShapeDtypeStruct((G, 1, SUBLANE, LANE), jnp.float32),  # alpha
+    ]
+    out_specs = [
+        pl.BlockSpec(
+            (1,) + s.shape[1:],
+            lambda g, nd=len(s.shape): (g,) + (0,) * (nd - 1),
+            memory_space=pltpu.VMEM,
+        )
+        for s in out_shapes
+    ]
+    scratch = [
+        pltpu.VMEM((T, n, SUBLANE, LANE), jnp.float32),  # x_hat
+        pltpu.VMEM((T, m, SUBLANE, LANE), jnp.float32),  # u_hat
+        pltpu.VMEM((T, n, SUBLANE, LANE), jnp.float32),  # best x
+        pltpu.VMEM((T, m, SUBLANE, LANE), jnp.float32),  # best u
+        pltpu.VMEM((T, m, n, SUBLANE, LANE), jnp.float32),  # K
+        pltpu.VMEM((T, m, SUBLANE, LANE), jnp.float32),  # k
+    ]
+
+    kernel = _make_kernel(
+        T, n, m, lqr_iter, pnqp_iter, reg, decay, max_linesearch_iter,
+        delta_u, eps, best_cost_eps, not_improved_lim,
+        dyn.entries_step, n_params,
+    )
+    xs_l, us_l, obj_l, conv_l, impr_l, alpha_l = pl.pallas_call(
+        kernel,
+        grid=(G,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*ins)
+
+    xs = _from_kernel_layout(xs_l)[:, :orig_B].astype(dtype)
+    us = _from_kernel_layout(us_l)[:, :orig_B].astype(dtype)
+    objs = _from_kernel_layout(obj_l)[0, :orig_B].astype(dtype)
+    conv = _from_kernel_layout(conv_l)[0, :orig_B] > 0.5
+    impr = _from_kernel_layout(impr_l)[0, :orig_B].astype(dtype)
+    alpha = _from_kernel_layout(alpha_l)[0, :orig_B].astype(dtype)
+    return FusedSolveResult(xs, us, objs, conv, impr, alpha)
