@@ -78,17 +78,22 @@ def _resolve_use_pallas(use_pallas: Optional[bool]) -> bool:
 
 
 def _riccati(spec: LqrSpec, C, c, F, f, n_state, **kwargs):
-    """Dispatch between the XLA scan and the Pallas fused kernel (falling
-    back to XLA when the horizon/problem size exceeds the kernel's VMEM
-    tile budget or the batch is too small to fill a tile)."""
+    """Dispatch between the XLA scan and the Pallas kernels: VMEM-resident
+    fused kernel for short horizons, the HBM-streaming double-buffered
+    kernel for long ones, XLA scan when the batch is too small to fill a
+    tile or on CPU."""
     if _resolve_use_pallas(spec.use_pallas):
         from .pallas.riccati import TILE_B, fits_vmem, riccati_backward_pallas
 
         T, B = C.shape[0], C.shape[1]
         m = C.shape[-1] - n_state
-        if B >= TILE_B // 2 and fits_vmem(T, n_state, m):
+        if B >= TILE_B // 2:
             kwargs.pop("pnqp_eps", None)
-            return riccati_backward_pallas(C, c, F, f, n_state, **kwargs)
+            if fits_vmem(T, n_state, m):
+                return riccati_backward_pallas(C, c, F, f, n_state, **kwargs)
+            from .pallas.riccati_stream import riccati_backward_pallas_stream
+
+            return riccati_backward_pallas_stream(C, c, F, f, n_state, **kwargs)
     return riccati_backward(C, c, F, f, n_state, **kwargs)
 
 
@@ -151,17 +156,37 @@ def lqr_step(
 
     T, B = C.shape[0], C.shape[1]
     m = C.shape[-1] - n
-    fuse_ls = (
+    fusable = (
         _resolve_use_pallas(spec.use_pallas)
         and cost_fn is None
         and (dynamics_fn is None or dyn_kernel is not None)
         and B >= TILE_B // 2
-        and fits_vmem(T, n, m, extra=T * (2 * n + 3 * m) * 4 * TILE_B)
     )
-    if fuse_ls:
+    resident = fusable and fits_vmem(T, n, m, extra=T * (2 * n + 3 * m) * 4 * TILE_B)
+    if resident:
         from .pallas.rollout import linesearch_rollout_pallas
 
         ls = linesearch_rollout_pallas(
+            x_init,
+            C,
+            c,
+            F,
+            f,
+            res.K,
+            res.k,
+            x_hat,
+            u_hat,
+            u_lower=u_lower,
+            u_upper=u_upper,
+            delta_u=spec.delta_u,
+            dyn=dyn_kernel if dynamics_fn is not None else None,
+            decay=spec.linesearch_decay,
+            max_iter=spec.max_linesearch_iter,
+        )
+    elif fusable:
+        from .pallas.rollout_stream import linesearch_rollout_pallas_stream
+
+        ls = linesearch_rollout_pallas_stream(
             x_init,
             C,
             c,
