@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from .ops.linearize import linearize_dynamics, quadraticize_cost
-from .ops.lqr import lqr_rollout, trajectory_cost
+from .ops.lqr import trajectory_cost
 from .ops.lqr_step import LqrSpec, lqr_fixed_point, lqr_step
 from .types import GradMethods, LinDx, MPCConfig, QuadCost
 from .utils.batch import PRECISION, detach

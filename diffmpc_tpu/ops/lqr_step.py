@@ -48,7 +48,6 @@ import jax.numpy as jnp
 
 from ..utils.batch import bger, bmv, btrans
 from .lqr import (
-    LineSearchResult,
     lqr_linesearch_rollout,
     lqr_rollout,
     riccati_backward,

@@ -20,7 +20,6 @@ see tests/test_pallas_riccati.py.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -19,7 +19,7 @@ the XLA path in :func:`diffmpc_tpu.ops.lqr.lqr_linesearch_rollout`.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
