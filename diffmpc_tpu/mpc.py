@@ -207,8 +207,28 @@ def mpc_solve(
         return MPCSolution(sol.xs[..., m_orig:], sol.us, sol.objs, sol.info)
 
     T, n, m = config.T, config.n_state, config.n_ctrl
+    if x_init.ndim != 2 or x_init.shape[-1] != n:
+        raise ValueError(
+            f"x_init must be (B, n_state={n}); got {x_init.shape}"
+        )
     B = x_init.shape[0]
     dtype = x_init.dtype
+    if isinstance(cost, QuadCost):
+        nm_c = jnp.shape(cost.C)[-1]
+        if nm_c != n + m:
+            raise ValueError(
+                f"QuadCost.C trailing dim must be n_state+n_ctrl={n + m}; "
+                f"got {jnp.shape(cost.C)}"
+            )
+    if isinstance(dx, LinDx):
+        Fs = jnp.shape(dx.F)
+        if Fs[-1] != n + m or Fs[-2] != n:
+            raise ValueError(
+                f"LinDx.F trailing dims must be (n_state={n}, "
+                f"n_state+n_ctrl={n + m}); got {Fs}"
+            )
+    if (u_lower is None) != (u_upper is None):
+        raise ValueError("u_lower and u_upper must be both set or both None")
 
     lo = _expand_bound(u_lower, T, B, m, dtype)
     hi = _expand_bound(u_upper, T, B, m, dtype)

@@ -96,3 +96,19 @@ def test_zero_cost_noop():
     xs, us, objs = ctrl(jnp.asarray(x_init), QuadCost(C, c), LinDx(F, f))
     np.testing.assert_allclose(np.asarray(us), 0.0, atol=1e-10)
     np.testing.assert_allclose(np.asarray(objs), 0.0, atol=1e-10)
+
+
+def test_friendly_shape_errors():
+    config_args = dict(n_state=3, n_ctrl=1, T=5, exit_unconverged=False)
+    ctrl = MPC(**config_args)
+    C = jnp.eye(4)
+    c = jnp.zeros(4)
+    F = jnp.zeros((3, 4))
+    with pytest.raises(ValueError, match="x_init must be"):
+        ctrl(jnp.zeros((2, 5)), QuadCost(C, c), LinDx(F))
+    with pytest.raises(ValueError, match="QuadCost.C trailing"):
+        ctrl(jnp.zeros((2, 3)), QuadCost(jnp.eye(5), jnp.zeros(5)), LinDx(F))
+    with pytest.raises(ValueError, match="LinDx.F trailing"):
+        ctrl(jnp.zeros((2, 3)), QuadCost(C, c), LinDx(jnp.zeros((3, 5))))
+    with pytest.raises(ValueError, match="both set or both None"):
+        MPC(u_lower=-1.0, **config_args)(jnp.zeros((2, 3)), QuadCost(C, c), LinDx(F))
