@@ -188,6 +188,7 @@ def mpc_solve(
     u_lower=None,
     u_upper=None,
     prev_ctrl: Optional[jnp.ndarray] = None,
+    u_zero_I=None,
 ) -> MPCSolution:
     """Solve a batch of (possibly nonlinear, box-constrained) MPC problems.
 
@@ -229,6 +230,22 @@ def mpc_solve(
             )
     if (u_lower is None) != (u_upper is None):
         raise ValueError("u_lower and u_upper must be both set or both None")
+
+    if u_zero_I is not None:
+        # The reference's ``u_zero_I`` knob: control dims held at exactly
+        # zero, expressed as the degenerate box lo = hi = 0 on those dims —
+        # the box-DDP machinery (clamps, zeroed gain rows, tight-dim
+        # freezing in the KKT backward) then applies unchanged.
+        mask = jnp.broadcast_to(jnp.asarray(u_zero_I, bool), (T, B, m))
+        big = jnp.asarray(1e18, dtype)
+        base_lo = _expand_bound(u_lower, T, B, m, dtype)
+        base_hi = _expand_bound(u_upper, T, B, m, dtype)
+        u_lower = jnp.where(
+            mask, 0.0, base_lo if base_lo is not None else jnp.full((T, B, m), -big)
+        )
+        u_upper = jnp.where(
+            mask, 0.0, base_hi if base_hi is not None else jnp.full((T, B, m), big)
+        )
 
     lo = _expand_bound(u_lower, T, B, m, dtype)
     hi = _expand_bound(u_upper, T, B, m, dtype)
@@ -563,6 +580,7 @@ class MPC:
         not_improved_lim: int = 5,
         best_cost_eps: float = 1e-4,
         pnqp_iter: int = 20,
+        u_zero_I=None,
     ):
         self.config = MPCConfig(
             n_state=n_state,
@@ -589,6 +607,7 @@ class MPC:
         self.u_init = u_init
         self.prev_ctrl = prev_ctrl
         self.n_batch = n_batch
+        self.u_zero_I = u_zero_I
 
     def solve(self, x_init, cost, dx) -> MPCSolution:
         if self.config.grad_method == GradMethods.ANALYTIC_CHECK and not isinstance(
@@ -610,6 +629,7 @@ class MPC:
             u_lower=self.u_lower,
             u_upper=self.u_upper,
             prev_ctrl=self.prev_ctrl,
+            u_zero_I=self.u_zero_I,
         )
         if self.config.exit_unconverged:
             if not bool(jnp.all(sol.info.converged)):

@@ -103,3 +103,27 @@ def test_solution_info_stats_populated():
     assert float(jnp.max(info.clamp_frac)) > 0  # tight bounds must clamp
     assert bool(jnp.all(info.mean_alpha > 0))
     assert int(info.n_iters) >= 1
+
+
+def test_u_zero_I_pins_control_dims():
+    """Reference knob: control dims masked by u_zero_I stay exactly zero
+    and carry no gradient influence (tight-dim freezing in the backward)."""
+    rng = np.random.default_rng(600)
+    T, B, n, m = 8, 6, 3, 2
+    C, c, F, f, x_init = random_lqr_problem(rng, T, B, n, m)
+    mask = np.zeros((T, B, m), bool)
+    mask[:, :, 1] = True  # second control dim always pinned
+
+    ctrl = MPC(n, m, T, lqr_iter=5, exit_unconverged=False, u_zero_I=jnp.asarray(mask))
+    xs, us, objs = ctrl(jnp.asarray(x_init), QuadCost(C, c), LinDx(F, f))
+    np.testing.assert_allclose(np.asarray(us[:, :, 1]), 0.0, atol=1e-12)
+    assert float(jnp.max(jnp.abs(us[:, :, 0]))) > 0
+
+    # equivalent to solving the m=1 problem with dim-1 columns removed
+    keep = [0, 1, 2, 3]  # x dims + first control
+    C1 = C[..., keep, :][..., :, keep]
+    c1 = c[..., keep]
+    F1 = F[..., :, keep]
+    ctrl1 = MPC(n, 1, T, lqr_iter=5, exit_unconverged=False)
+    _, us1, _ = ctrl1(jnp.asarray(x_init), QuadCost(C1, c1), LinDx(F1, f))
+    np.testing.assert_allclose(np.asarray(us[:, :, :1]), np.asarray(us1), atol=1e-5)
