@@ -78,7 +78,9 @@ def _make_kernel(
         C_ref, c_ref, x0_ref, lo_ref, hi_ref = refs[i : i + 5]
         i += 5
         (xs_o, us_o, obj_o, conv_o, impr_o, alpha_o) = refs[i : i + 6]
-        (xh_s, uh_s, bx_s, bu_s, K_s, k_s) = refs[i + 6 : i + 12]
+        (xh_s, uh_s, bx_s, bu_s, K_s, k_s, st_s) = refs[i + 6 : i + 13]
+        # st_s rows: 0 cur_obj, 1 best_obj, 2 done, 3 n_not_improved,
+        #           4 last_improvement, 5 last_alpha
 
         params = [params_ref[j, 0] for j in range(n_params)] if n_params else None
         zero = jnp.zeros((SUBLANE, LANE), jnp.float32)
@@ -117,15 +119,20 @@ def _make_kernel(
 
         x0 = [x0_ref[0, a] for a in range(n)]
         init_out = jax.lax.fori_loop(0, T, init_body, (zero, *x0))
-        cur_obj = init_out[0]
+        st_s[0] = init_out[0]  # cur_obj
+        st_s[1] = init_out[0]  # best_obj
+        st_s[2] = zero  # done (1.0 = frozen)
+        st_s[3] = zero  # n_not_improved
+        st_s[4] = jnp.full((SUBLANE, LANE), jnp.inf, jnp.float32)
+        st_s[5] = one  # last_alpha
 
-        best_obj = cur_obj
-        done = zero  # 1.0 = frozen
-        n_not_improved = zero
-        last_improvement = jnp.full((SUBLANE, LANE), jnp.inf, jnp.float32)
-        last_alpha = one
-
-        for _it in range(lqr_iter):
+        def iteration():
+            cur_obj = st_s[0]
+            best_obj = st_s[1]
+            done = st_s[2]
+            n_not_improved = st_s[3]
+            last_improvement = st_s[4]
+            last_alpha = st_s[5]
             active = 1.0 - done
 
             # ---- Riccati backward sweep (delta form) ----
@@ -259,7 +266,7 @@ def _make_kernel(
 
             new_out = jax.lax.fori_loop(0, T, replay_body, (zero, *x0))
             new_obj = new_out[0]
-            cur_obj = jnp.where(active > 0, new_obj, cur_obj)
+            st_s[0] = jnp.where(active > 0, new_obj, cur_obj)
 
             improved = (new_obj < best_obj) & (active > 0)
             improved_sig = (new_obj < best_obj - best_cost_eps) & (active > 0)
@@ -273,12 +280,21 @@ def _make_kernel(
                 return 0
 
             jax.lax.fori_loop(0, T, best_body, 0)
-            best_obj = jnp.where(improved, new_obj, best_obj)
-            n_not_improved = jnp.where(improved_sig, zero, n_not_improved + active)
-            last_improvement = jnp.where(active > 0, improvement, last_improvement)
-            last_alpha = jnp.where(active > 0, chosen, last_alpha)
-            newly_done = (improvement < eps) | (n_not_improved >= not_improved_lim)
-            done = jnp.maximum(done, jnp.where(newly_done, 1.0, 0.0))
+            st_s[1] = jnp.where(improved, new_obj, best_obj)
+            nni = jnp.where(improved_sig, zero, n_not_improved + active)
+            st_s[3] = nni
+            st_s[4] = jnp.where(active > 0, improvement, last_improvement)
+            st_s[5] = jnp.where(active > 0, chosen, last_alpha)
+            newly_done = (improvement < eps) | (nni >= not_improved_lim)
+            st_s[2] = jnp.maximum(done, jnp.where(newly_done, 1.0, 0.0))
+
+        for _it in range(lqr_iter):
+            # skip remaining iLQR iterations once every scenario in the
+            # tile is frozen (early exit, matching the XLA while_loop's
+            # all-done condition)
+            @pl.when(jnp.min(st_s[2]) < 0.5)
+            def _():
+                iteration()
 
         # ---- emit ----
         def emit_body(t, _):
@@ -289,10 +305,10 @@ def _make_kernel(
             return 0
 
         jax.lax.fori_loop(0, T, emit_body, 0)
-        obj_o[0, 0] = best_obj
-        conv_o[0, 0] = jnp.where(last_improvement < eps, 1.0, 0.0)
-        impr_o[0, 0] = last_improvement
-        alpha_o[0, 0] = last_alpha
+        obj_o[0, 0] = st_s[1]
+        conv_o[0, 0] = jnp.where(st_s[4] < eps, 1.0, 0.0)
+        impr_o[0, 0] = st_s[4]
+        alpha_o[0, 0] = st_s[5]
 
     return kernel
 
@@ -395,6 +411,7 @@ def ilqr_solve_fused(
         pltpu.VMEM((T, m, SUBLANE, LANE), jnp.float32),  # best u
         pltpu.VMEM((T, m, n, SUBLANE, LANE), jnp.float32),  # K
         pltpu.VMEM((T, m, SUBLANE, LANE), jnp.float32),  # k
+        pltpu.VMEM((6, SUBLANE, LANE), jnp.float32),  # iteration state
     ]
 
     kernel = _make_kernel(
