@@ -113,8 +113,9 @@ class MPCConfig:
     # Tolerance used to detect tight (active) box constraints in the KKT
     # backward pass.
     tight_eps: float = 1e-6
-    # Solver compute dtype. f32 is the TPU-native choice; f64 is available on
-    # CPU for high-accuracy parity fixtures (SURVEY.md §7 hard-part 3).
+    # Advisory record of the intended compute dtype: the solver actually
+    # follows ``x_init.dtype`` (pass f64 arrays on CPU for high-accuracy
+    # parity fixtures — SURVEY.md §7 hard-part 3; f32 is the TPU path).
     dtype: jnp.dtype = jnp.float32
     # Pallas fused Riccati kernel (SURVEY.md §7 stage 8). None = auto: on for
     # TPU backends, off on CPU (where the XLA scan path is used / the kernel
