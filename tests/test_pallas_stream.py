@@ -53,3 +53,59 @@ def test_stream_mask_mode_matches_xla():
     )
     np.testing.assert_allclose(np.asarray(out.K), np.asarray(ref.K), atol=5e-4)
     np.testing.assert_allclose(np.asarray(out.k), np.asarray(ref.k), atol=5e-4)
+
+
+def test_lqr_step_dispatches_to_streaming_for_long_horizon(monkeypatch):
+    """With use_pallas forced and a horizon past the VMEM budget, the
+    riccati dispatch must route to the streaming kernel (and the line
+    search to its streaming variant)."""
+    import diffmpc_tpu.ops.pallas.riccati_stream as rs
+    import diffmpc_tpu.ops.pallas.rollout_stream as ros
+    from diffmpc_tpu.ops.lqr_step import LqrSpec, lqr_step
+    from diffmpc_tpu.models import PendulumDx
+    import jax
+
+    calls = {"ric": 0, "roll": 0}
+    orig_ric = rs.riccati_backward_pallas_stream
+    orig_roll = ros.linesearch_rollout_pallas_stream
+
+    def c_ric(*a, **k):
+        calls["ric"] += 1
+        k["interpret"] = True
+        return orig_ric(*a, **k)
+
+    def c_roll(*a, **k):
+        calls["roll"] += 1
+        k["interpret"] = True
+        return orig_roll(*a, **k)
+
+    monkeypatch.setattr(rs, "riccati_backward_pallas_stream", c_ric)
+    monkeypatch.setattr(ros, "linesearch_rollout_pallas_stream", c_roll)
+
+    T, B, n, m = 80, 520, 3, 1  # T beyond the resident VMEM budget
+    dx = PendulumDx.default(jnp.float32)
+    q, p = dx.get_true_obj()
+    rng = np.random.default_rng(920)
+    th = rng.uniform(-np.pi, np.pi, B)
+    x_init = jnp.asarray(
+        np.stack([np.cos(th), np.sin(th), 0 * th], -1), jnp.float32
+    )
+    C = jnp.broadcast_to(jnp.diag(q), (T, B, 4, 4)).astype(jnp.float32)
+    c = jnp.broadcast_to(p, (T, B, 4)).astype(jnp.float32)
+    from diffmpc_tpu.ops.linearize import linearize_dynamics
+
+    u_hat = jnp.zeros((T, B, 1), jnp.float32)
+
+    def roll(x, ut):
+        return dx.forward(x, ut), x
+
+    _, x_hat = jax.lax.scan(roll, x_init, u_hat)
+    lin = linearize_dynamics(dx, x_hat, u_hat)
+    spec = LqrSpec(n_state=n, constrained=True, use_pallas=True)
+    out = lqr_step(
+        spec, x_init, C, c, lin.F, lin.f, x_hat, u_hat,
+        u_lower=jnp.full((T, B, 1), -2.0), u_upper=jnp.full((T, B, 1), 2.0),
+        dynamics_fn=lambda x, u, t: dx.forward(x, u), dyn_kernel=dx,
+    )
+    assert calls["ric"] == 1 and calls["roll"] == 1, calls
+    assert bool(jnp.all(jnp.isfinite(out.objs)))
