@@ -67,6 +67,10 @@ def _expand_cost(cost: QuadCost, T: int, B: int, dtype) -> QuadCost:
     C of ndim 2 ``(nm, nm)``, 3 ``(T, nm, nm)`` or 4 ``(T, B, nm, nm)``;
     c of ndim 1/2/3 accordingly."""
     C, c = jnp.asarray(cost.C, dtype), jnp.asarray(cost.c, dtype)
+    # Symmetrize on entry: the XLA Riccati symmetrizes Q each step while the
+    # Pallas kernels mirror the upper triangle of C, so a non-symmetric user
+    # C must be canonicalized here for both paths to see the same problem.
+    C = 0.5 * (C + jnp.swapaxes(C, -1, -2))
     if C.ndim == 2:
         C = C[None, None]
     elif C.ndim == 3:
@@ -81,17 +85,38 @@ def _expand_cost(cost: QuadCost, T: int, B: int, dtype) -> QuadCost:
 
 
 def _expand_bound(b, T: int, B: int, m: int, dtype):
+    """Accepted bound shapes (trace-time validated): scalar, ``(m,)``,
+    ``(T, m)`` or ``(T, B, m)``. A 2-D array is ALWAYS read as ``(T, m)`` —
+    a per-batch ``(B, m)`` bound is rejected explicitly rather than silently
+    misread when ``T == B``."""
     if b is None:
         return None
     b = jnp.asarray(b, dtype)
     if b.ndim == 0:
         b = jnp.full((T, B, m), b, dtype)
     elif b.ndim == 1:
+        if b.shape != (m,):
+            raise ValueError(
+                f"1-D control bound must be (n_ctrl={m},); got {b.shape}"
+            )
         b = jnp.broadcast_to(b, (T, B, m))
-    elif b.ndim == 2:  # (T, m)
+    elif b.ndim == 2:
+        if b.shape != (T, m):
+            raise ValueError(
+                f"2-D control bound is interpreted as (T={T}, n_ctrl={m}); "
+                f"got {b.shape}. For per-batch bounds pass the full "
+                f"(T, B, m) array."
+            )
         b = jnp.broadcast_to(b[:, None, :], (T, B, m))
-    else:
+    elif b.ndim == 3:
+        if b.shape[0] != T or b.shape[2] != m or b.shape[1] not in (1, B):
+            raise ValueError(
+                f"3-D control bound must broadcast to (T={T}, B={B}, "
+                f"n_ctrl={m}); got {b.shape}"
+            )
         b = jnp.broadcast_to(b, (T, B, m))
+    else:
+        raise ValueError(f"control bound has too many dims: {b.shape}")
     return b
 
 
@@ -202,8 +227,11 @@ def mpc_solve(
         config_aug, x_init_aug, cost_aug, dx_aug = _augment_slew(
             config, x_init, cost, dx, u_init, u_lower, u_upper, prev_ctrl
         )
+        # The control space is unchanged by the state augmentation, so
+        # control-shaped knobs (u_init, bounds, u_zero_I) apply as-is.
         sol = mpc_solve(
-            config_aug, x_init_aug, cost_aug, dx_aug, u_init, u_lower, u_upper
+            config_aug, x_init_aug, cost_aug, dx_aug, u_init, u_lower, u_upper,
+            u_zero_I=u_zero_I,
         )
         return MPCSolution(sol.xs[..., m_orig:], sol.us, sol.objs, sol.info)
 

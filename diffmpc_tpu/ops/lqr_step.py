@@ -71,6 +71,15 @@ class LqrSpec:
 
 
 def _resolve_use_pallas(use_pallas: Optional[bool]) -> bool:
+    """Resolve the ``use_pallas=None`` auto mode.
+
+    Auto consults ``jax.default_backend()`` AT TRACE TIME. If you compile for
+    a non-default device (e.g. ``jit(..., device=jax.devices('cpu')[0])``
+    while a TPU backend is the default), set ``use_pallas`` explicitly in
+    :class:`diffmpc_tpu.types.MPCConfig` / :class:`LqrSpec` — auto would
+    otherwise dispatch Mosaic TPU kernels into a CPU computation and fail to
+    lower.
+    """
     if use_pallas is not None:
         return use_pallas
     return jax.default_backend() not in ("cpu",)

@@ -122,8 +122,12 @@ def _pnqp_entries(Quu, qu, lo, hi, m, n_iter, reg):
         h = Quu[0][0] + reg
         x = jnp.clip(-qu[0] / h, lo[0], hi[0])
         g = Quu[0][0] * x + qu[0]
+        # same 1e-6 boundary tolerance as the XLA pnqp (ops/pnqp.py) and the
+        # m > 1 branch below, so near-boundary active sets agree across paths
         clamped = jnp.where(
-            ((x <= lo[0]) & (g > 0)) | ((x >= hi[0]) & (g < 0)), 1.0, 0.0
+            ((x <= lo[0] + 1e-6) & (g > 0)) | ((x >= hi[0] - 1e-6) & (g < 0)),
+            1.0,
+            0.0,
         )
         return [x], [clamped]
 

