@@ -14,9 +14,13 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_SOLVES_PER_S = 10_000.0
+# Soft wall-clock budget for the secondary metrics below (each one costs a
+# remote compile); whatever does not fit is skipped, never the primary line.
+SECONDARY_BUDGET_S = 420.0
 
 
 def main():
+    t_start = time.perf_counter()
     from diffmpc_tpu import mpc_solve
     from __graft_entry__ import _pendulum_setup, _x_init
 
@@ -121,6 +125,100 @@ def main():
         )
     except Exception as e:  # pragma: no cover - secondary metrics best-effort
         details["secondary_error"] = repr(e)
+
+    def budget_left():
+        return time.perf_counter() - t_start < SECONDARY_BUDGET_S
+
+    # Warm-start throughput (the receding-horizon deployment pattern —
+    # round 2: u_init rides the mega-kernel).
+    try:
+        if budget_left():
+            u_warm = jnp.roll(us[0], -1, axis=0)
+
+            @jax.jit
+            def solve_warm_many(xs, u):
+                def one(x):
+                    sol = mpc_solve(
+                        config, x, cost, dx, u_init=u,
+                        u_lower=-2.0, u_upper=2.0,
+                    )
+                    return sol.objs
+                return jax.lax.map(one, xs)
+
+            jax.block_until_ready(solve_warm_many(xs_stack, u_warm))
+            t0 = time.perf_counter()
+            for _ in range(n_timed):
+                r = solve_warm_many(xs_stack, u_warm)
+            jax.block_until_ready(r)
+            details["warm_start_solves_per_s"] = round(
+                n_timed * n_sets * B / (time.perf_counter() - t0), 1
+            )
+    except Exception as e:  # pragma: no cover
+        details["warm_start_error"] = repr(e)
+
+    # Cartpole (eval-config-4 shape): n=5 fused solve at B=4096.
+    try:
+        if budget_left():
+            from diffmpc_tpu import MPCConfig, QuadCost
+            from diffmpc_tpu.models import CartpoleDx
+
+            cp = CartpoleDx.default(jnp.float32)
+            qc_, pc_ = cp.get_true_obj()
+            cost_cp = QuadCost(jnp.diag(qc_), pc_)
+            config_cp = MPCConfig(
+                n_state=5, n_ctrl=1, T=20, lqr_iter=10, eps=1e-5,
+                exit_unconverged=False, detach_unconverged=False,
+            )
+            Bc = 4096
+            rngc = np.random.default_rng(3)
+            thc = rngc.uniform(-0.3, 0.3, Bc)
+            xc = jnp.asarray(
+                np.stack([rngc.uniform(-0.5, 0.5, Bc), 0 * thc,
+                          np.cos(thc), np.sin(thc),
+                          rngc.uniform(-0.5, 0.5, Bc)], -1), jnp.float32)
+
+            @jax.jit
+            def solve_cp(x):
+                sol = mpc_solve(
+                    config_cp, x, cost_cp, cp, u_lower=-10.0, u_upper=10.0
+                )
+                return sol.objs
+
+            jax.block_until_ready(solve_cp(xc))
+            t0 = time.perf_counter()
+            for _ in range(8):
+                r = solve_cp(xc)
+            jax.block_until_ready(r)
+            details["cartpole_solves_per_s_T20_B4096"] = round(
+                8 * Bc / (time.perf_counter() - t0), 1
+            )
+    except Exception as e:  # pragma: no cover
+        details["cartpole_error"] = repr(e)
+
+    # Long horizon (T=128): exercises the HBM-streaming kernels.
+    try:
+        if budget_left():
+            config_lh, cost_lh, dx_lh = _pendulum_setup(T=128)
+            x_lh = _x_init(B, seed=11)
+
+            @jax.jit
+            def solve_lh(x):
+                sol = mpc_solve(
+                    config_lh, x, cost_lh, dx_lh, u_lower=-2.0, u_upper=2.0
+                )
+                return sol.objs
+
+            jax.block_until_ready(solve_lh(x_lh))
+            t0 = time.perf_counter()
+            for _ in range(5):
+                r = solve_lh(x_lh)
+            jax.block_until_ready(r)
+            dt_lh = (time.perf_counter() - t0) / 5
+            details["long_horizon_T128_B1024_ms"] = round(dt_lh * 1e3, 2)
+            details["long_horizon_T128_solves_per_s"] = round(B / dt_lh, 1)
+    except Exception as e:  # pragma: no cover
+        details["long_horizon_error"] = repr(e)
+
     with open("BENCH_DETAILS.json", "w") as fh:
         json.dump(details, fh, indent=1)
 

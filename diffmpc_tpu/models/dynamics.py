@@ -127,10 +127,70 @@ class NNDynamics(Dynamics):
         h = jnp.concatenate([x, u], axis=-1)
         act = _act(self.activation)
         for i, (w, b) in enumerate(zip(self.weights, self.biases)):
-            h = h @ w + b
+            h = jnp.einsum("...i,ij->...j", h, w, precision=PRECISION) + b
             if i < len(self.weights) - 1:
                 h = act(h)
         return x + h if self.residual else h
+
+    # ------------------------------------------------------------------
+    # Kernel fusion protocol (ops/pallas/{ilqr,rollout}.py): lets learned-
+    # dynamics problems (NN imitation, SURVEY.md §3.5) ride the fused
+    # mega-kernel. Weights live as scalars in SMEM and each hidden unit is
+    # one (S, 128) batch tile, so this is only profitable (and compilable in
+    # reasonable time — the layer loops unroll) for small policies/models;
+    # `kernel_fusable` gates the dispatch accordingly.
+    # ------------------------------------------------------------------
+
+    _FUSABLE_MAX_PARAMS = 1024
+    _FUSABLE_MAX_WIDTH = 32
+
+    @property
+    def kernel_fusable(self) -> bool:
+        n_params = sum(w.size for w in self.weights) + sum(
+            b.size for b in self.biases
+        )
+        widths = [w.shape[1] for w in self.weights[:-1]]
+        return n_params <= self._FUSABLE_MAX_PARAMS and all(
+            h <= self._FUSABLE_MAX_WIDTH for h in widths
+        )
+
+    def kernel_params(self):
+        """Flat parameter vector for SMEM: per layer, row-major W then b —
+        must match :meth:`entries_step`'s unpacking order."""
+        parts = []
+        for w, b in zip(self.weights, self.biases):
+            parts.append(w.reshape(-1))
+            parts.append(b)
+        return jnp.concatenate(parts)
+
+    def entries_step(self, params, x_entries, u_entries):
+        """Entry-wise (batch-minor) MLP step: each entry is an ``(S, 128)``
+        tile over scenarios; ``params`` is the flat scalar list from
+        :meth:`kernel_params`. Mathematically identical to :meth:`forward`
+        (all ops elementwise on tiles — Mosaic-lowerable)."""
+        h = list(x_entries) + list(u_entries)
+        n_x = len(x_entries)
+        act = _act(self.activation)
+        idx = 0
+        n_layers = len(self.weights)
+        for li, (w, b) in enumerate(zip(self.weights, self.biases)):
+            din, dout = w.shape
+            W = [
+                [params[idx + i * dout + j] for j in range(dout)]
+                for i in range(din)
+            ]
+            idx += din * dout
+            bias = [params[idx + j] for j in range(dout)]
+            idx += dout
+            h = [
+                sum(W[i][j] * h[i] for i in range(din)) + bias[j]
+                for j in range(dout)
+            ]
+            if li < n_layers - 1:
+                h = [act(z) for z in h]
+        if self.residual:
+            h = [x_entries[i] + h[i] for i in range(n_x)]
+        return h
 
 
 @struct.dataclass

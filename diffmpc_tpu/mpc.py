@@ -37,7 +37,7 @@ from .ops.linearize import linearize_dynamics, quadraticize_cost
 from .ops.lqr import trajectory_cost
 from .ops.lqr_step import LqrSpec, lqr_fixed_point, lqr_step
 from .types import GradMethods, LinDx, MPCConfig, QuadCost
-from .utils.batch import PRECISION, detach
+from .utils.batch import PRECISION, detach, match_vma
 
 CostLike = Union[QuadCost, Callable]
 DxLike = Union[LinDx, object]
@@ -297,6 +297,7 @@ def mpc_solve(
         max_linesearch_iter=config.max_linesearch_iter,
         delta_u=config.delta_u,
         use_pallas=config.use_pallas,
+        pallas_interpret=config.pallas_interpret,
     )
 
     # ------------------------------------------------------------------
@@ -341,14 +342,23 @@ def mpc_solve(
     # ------------------------------------------------------------------
     from .ops.lqr_step import _resolve_use_pallas
 
+    # Warm-start trajectory (the reference's u_init), expanded once for both
+    # paths; the fused kernel threads it into its init rollout.
+    if u_init is None:
+        u0_warm = None
+    else:
+        u0_warm = detach(jnp.asarray(u_init, dtype))
+        if u0_warm.ndim == 2:
+            u0_warm = jnp.broadcast_to(u0_warm[:, None], (T, B, m))
+
     use_fused = False
     if (
         is_quad
         and constrained
         and not is_lin
-        and u_init is None
         and hasattr(dx_sg, "entries_step")
         and hasattr(dx_sg, "kernel_params")
+        and getattr(dx_sg, "kernel_fusable", True)
         and config.grad_method != GradMethods.FINITE_DIFF
         and config.verbose <= 0
         and _resolve_use_pallas(config.use_pallas)
@@ -368,6 +378,7 @@ def mpc_solve(
             dx_sg,
             lo_sg,
             hi_sg,
+            u_init=u0_warm,
             lqr_iter=config.lqr_iter,
             pnqp_iter=min(config.pnqp_iter, 8),
             reg=config.back_eps,
@@ -377,26 +388,25 @@ def mpc_solve(
             eps=config.eps,
             best_cost_eps=config.best_cost_eps,
             not_improved_lim=config.not_improved_lim,
+            interpret=config.pallas_interpret,
         )
         best_x, best_u = detach(fr.xs), detach(fr.us)
         converged = fr.converged
         tol = jnp.asarray(config.tight_eps, dtype)
         at_bound = (best_u <= lo_sg + tol) | (best_u >= hi_sg - tol)
-        stats_n_iters = jnp.asarray(config.lqr_iter, jnp.int32)
+        # n_iters: the while_loop semantics — iterations until ALL scenarios
+        # froze (the kernel reports per-scenario active counts; their max is
+        # the executed iteration count).
+        stats_n_iters = jnp.max(fr.n_iters)
         stats = dict(
             last_improvement=fr.last_improvement,
             alpha=fr.alpha,
             clamp_frac=jnp.mean(at_bound.astype(dtype), axis=(0, 2)),
-            qp_iters=jnp.zeros((B,), dtype),
+            qp_iters=fr.qp_iters,
         )
     else:
         # Initial trajectory: roll u_init (or zeros) through the dynamics.
-        if u_init is None:
-            u0 = jnp.zeros((T, B, m), dtype)
-        else:
-            u0 = jnp.asarray(u_init, dtype)
-            if u0.ndim == 2:
-                u0 = jnp.broadcast_to(u0[:, None], (T, B, m))
+        u0 = jnp.zeros((T, B, m), dtype) if u0_warm is None else u0_warm
         if constrained:
             u0 = jnp.clip(u0, lo_sg, hi_sg)
 
@@ -440,7 +450,13 @@ def mpc_solve(
             return (s.i < config.lqr_iter) & ~jnp.all(s.done)
 
         dyn_kernel = (
-            dx_sg if (not is_lin and hasattr(dx_sg, "entries_step")) else None
+            dx_sg
+            if (
+                not is_lin
+                and hasattr(dx_sg, "entries_step")
+                and getattr(dx_sg, "kernel_fusable", True)
+            )
+            else None
         )
 
         def body(s: Carry) -> Carry:
@@ -506,19 +522,32 @@ def mpc_solve(
                 ),
             )
 
+        # Literal-initialized carries are VMA-promoted against x_init so the
+        # while_loop type-checks under shard_map(check_vma=True) — see
+        # utils.batch.match_vma (no-op outside a manual-axes context).
+        # dx_sg is always a pytree (LinDx or a flax-struct Dynamics model);
+        # a callable cost is not, so it is only included when QuadCost.
+        vma_refs = [x_init_sg, dx_sg]
+        if is_quad:
+            vma_refs.append(cost_sg)
+        if constrained:
+            vma_refs.append((lo_sg, hi_sg))
+        mv = lambda arr: match_vma(arr, vma_refs)
         init = Carry(
-            i=jnp.zeros((), jnp.int32),
-            x=x0,
-            u=u0,
-            best_x=x0,
-            best_u=u0,
-            best_obj=obj0,
-            n_not_improved=jnp.zeros((B,), jnp.int32),
-            last_improvement=jnp.full((B,), jnp.inf, dtype),
-            done=jnp.zeros((B,), bool),
-            alpha=jnp.ones((B,), dtype),
-            clamp_frac=jnp.zeros((B,), dtype),
-            qp_iters=jnp.zeros((B,), dtype),
+            # i is device-varying too: the while predicate depends on the
+            # device-local done mask, so trip counts differ across devices.
+            i=mv(jnp.zeros((), jnp.int32)),
+            x=mv(x0),
+            u=mv(u0),
+            best_x=mv(x0),
+            best_u=mv(u0),
+            best_obj=mv(obj0),
+            n_not_improved=mv(jnp.zeros((B,), jnp.int32)),
+            last_improvement=mv(jnp.full((B,), jnp.inf, dtype)),
+            done=mv(jnp.zeros((B,), bool)),
+            alpha=mv(jnp.ones((B,), dtype)),
+            clamp_frac=mv(jnp.zeros((B,), dtype)),
+            qp_iters=mv(jnp.zeros((B,), dtype)),
         )
         final = jax.lax.while_loop(cond, body, init)
         best_x, best_u = detach(final.best_x), detach(final.best_u)

@@ -37,12 +37,24 @@ Suffix-combining elements ``t..T-1`` yields ``V_t(x) = 0.5 x' J x - eta' x``
 step. Unconstrained only — active box sets couple time steps
 non-associatively, so box problems use the sequential scan / Pallas kernel.
 
-Status note (measured on 1x TPU v5 lite, f32): at production shapes
-(B >= 256) the sequential ``lax.scan`` path saturates the chip and wins
-(e.g. T=256: 13ms vs 27ms); at tiny batch the two are comparable. The
-associative path is therefore OFF by default — it is the horizon-scaling
-mechanism for time-sharded meshes and many-core parts where log-depth
-matters, and is kept correctness-pinned by tests/test_assoc_riccati.py.
+Status (round 2): two deployments.
+
+- Single chip, ``riccati_backward_assoc`` (``lax.associative_scan``):
+  measured on 1x TPU v5 lite, f32 — at production shapes (B >= 256) the
+  sequential ``lax.scan`` path saturates the chip and wins (e.g. T=256:
+  13ms vs 27ms), so it stays OFF by default there.
+- Time-sharded mesh, :func:`riccati_backward_time_sharded` (SURVEY.md
+  §5.7 build (b)): the horizon is block-distributed over a ``('time',)``
+  mesh — local sequential suffix-composition, an ``all_gather`` of the D
+  chunk totals, a replicated length-D combine, one batched boundary
+  combine, local gain recovery. Per-device sequential depth T/D + D.
+  WINS over the single-stream sequential scan in the long-horizon,
+  m ~ n regime (the combine works on n-sized value maps while the
+  sequential step factors the (n+m)-sized Q): measured 1.76x at
+  T=8192, B=8, n=m=4 on the 8-virtual-device (4-core) CPU mesh, 1.4x at
+  T=4096-16384 B=16; loses at m=1 where the sequential step is nearly
+  free (0.6x). Crossover pinned by
+  tests/test_assoc_riccati.py::test_time_sharded_crossover_measurement.
 """
 
 from __future__ import annotations
@@ -82,27 +94,12 @@ def _combine(e_i, e_j):
     return A, b, C, eta, J
 
 
-def riccati_backward_assoc(
-    C: jnp.ndarray,
-    c: jnp.ndarray,
-    F: jnp.ndarray,
-    f: Optional[jnp.ndarray],
-    n_state: int,
-    *,
-    reg: float = 1e-9,
-) -> RiccatiResult:
-    """Drop-in replacement for the unconstrained
-    :func:`diffmpc_tpu.ops.lqr.riccati_backward` with O(log T) time depth.
-
-    Same contract: C (T,B,nm,nm), c (T,B,nm), F (T,B,n,nm), f (T,B,n)|None
-    -> gains (K, k)."""
-    n = n_state
-    T, B, nm = C.shape[0], C.shape[1], C.shape[-1]
-    m = nm - n
+def _build_elements(C, c, F, f, n, *, reg):
+    """Per-step conditional-value-function elements (module docstring): the
+    embarrassingly-parallel part, shared by the single-chip associative scan
+    and the time-sharded deployment."""
+    T, B = C.shape[0], C.shape[1]
     dtype = C.dtype
-    if f is None:
-        f = jnp.zeros((T, B, n), dtype)
-
     Qxx = C[..., :n, :n]
     Qxu = C[..., :n, n:]
     Qux = C[..., n:, :n]
@@ -128,8 +125,50 @@ def riccati_backward_assoc(
     A_el = A_el.at[T - 1].set(zero_nn)
     b_el = b_el.at[T - 1].set(jnp.zeros((B, n), dtype))
     C_el = C_el.at[T - 1].set(zero_nn)
+    return (A_el, b_el, C_el, eta_el, J_el)
 
-    elems = (A_el, b_el, C_el, eta_el, J_el)
+
+def _identity_element(B, n, dtype):
+    """Neutral element of :func:`_combine` (A=I, everything else 0)."""
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=dtype), (B, n, n))
+    z_nn = jnp.zeros((B, n, n), dtype)
+    z_n = jnp.zeros((B, n), dtype)
+    return (eye, z_n, z_nn, z_n, z_nn)
+
+
+def _gains_from_value(C, c, F, f, V_next, v_next, n, reg):
+    """Standard gain recovery — one parallel batched solve per step."""
+    FtT = btrans(F)
+    Q = symmetrize(C + bmm(FtT, bmm(V_next, F)))
+    q = c + bmv(FtT, bmv(V_next, f) + v_next)
+    chol = cholesky_small(Q[..., n:, n:], reg)
+    rhs = jnp.concatenate([Q[..., n:, :n], q[..., n:, None]], axis=-1)
+    Kk = -cho_solve_small(chol, rhs)
+    return Kk[..., :n], Kk[..., n]
+
+
+def riccati_backward_assoc(
+    C: jnp.ndarray,
+    c: jnp.ndarray,
+    F: jnp.ndarray,
+    f: Optional[jnp.ndarray],
+    n_state: int,
+    *,
+    reg: float = 1e-9,
+) -> RiccatiResult:
+    """Drop-in replacement for the unconstrained
+    :func:`diffmpc_tpu.ops.lqr.riccati_backward` with O(log T) time depth.
+
+    Same contract: C (T,B,nm,nm), c (T,B,nm), F (T,B,n,nm), f (T,B,n)|None
+    -> gains (K, k)."""
+    n = n_state
+    T, B, nm = C.shape[0], C.shape[1], C.shape[-1]
+    m = nm - n
+    dtype = C.dtype
+    if f is None:
+        f = jnp.zeros((T, B, n), dtype)
+
+    elems = _build_elements(C, c, F, f, n, reg=reg)
     # suffix combinations: comb[t] = e_t * e_{t+1} * ... * e_{T-1}.
     # associative_scan(reverse=True) applies operands as
     # f(elems[t+1], elems[t]) (time-reversed orientation), so flip the
@@ -143,13 +182,130 @@ def riccati_backward_assoc(
     V_next = jnp.concatenate([J_c[1:], jnp.zeros((1, B, n, n), dtype)], axis=0)
     v_next = jnp.concatenate([-eta_c[1:], jnp.zeros((1, B, n), dtype)], axis=0)
 
-    # standard gain recovery, one parallel batched solve per step
-    FtT = btrans(F)
-    Q = symmetrize(C + bmm(FtT, bmm(V_next, F)))
-    q = c + bmv(FtT, bmv(V_next, f) + v_next)
-    chol = cholesky_small(Q[..., n:, n:], reg)
-    rhs = jnp.concatenate([Q[..., n:, :n], q[..., n:, None]], axis=-1)
-    Kk = -cho_solve_small(chol, rhs)
-    K, k = Kk[..., :n], Kk[..., n]
+    K, k = _gains_from_value(C, c, F, f, V_next, v_next, n, reg)
+    free = jnp.ones((T, B, m), dtype=bool)
+    return RiccatiResult(K, k, free, jnp.zeros((T, B), jnp.int32))
+
+
+def riccati_backward_time_sharded(
+    mesh,
+    C: jnp.ndarray,
+    c: jnp.ndarray,
+    F: jnp.ndarray,
+    f: Optional[jnp.ndarray],
+    n_state: int,
+    *,
+    reg: float = 1e-9,
+    time_axis: str = "time",
+) -> RiccatiResult:
+    """Horizon-sharded parallel-in-time Riccati (SURVEY.md §5.7 build (b)):
+    the sequence-parallel deployment of the associative formulation.
+
+    The horizon is block-distributed over the mesh's ``time_axis`` — the
+    domain-correct analog of sequence parallelism (the recursion plays the
+    role attention plays in transformers). Classic blocked scan, all inside
+    one ``shard_map``:
+
+    1. each device sequentially suffix-composes its own ``T/D`` chunk of
+       value-function elements (work-efficient local ``lax.scan``),
+    2. the ``D`` chunk-total elements are ``all_gather``ed (tiny — one
+       ``(B, n, n)``-sized element per device, riding ICI on a real pod)
+       and suffix-composed in a length-``D`` scan replicated on every
+       device,
+    3. each local suffix is combined with the right-neighbor total in one
+       fully batched :func:`_combine`, and gains are recovered locally.
+
+    Per-device sequential depth drops from ``T`` to ``T/D + D``.
+    Unconstrained only, like :func:`riccati_backward_assoc`. ``T`` must be
+    divisible by the mesh size. Inputs may be passed unsharded; outputs come
+    back time-sharded over the mesh.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    n = n_state
+    T, B, nm = C.shape[0], C.shape[1], C.shape[-1]
+    m = nm - n
+    dtype = C.dtype
+    if f is None:
+        f = jnp.zeros((T, B, n), dtype)
+    D = mesh.shape[time_axis]
+    if T % D != 0:
+        raise ValueError(f"T={T} must be divisible by the time-mesh size {D}")
+
+    def local_block(C_l, c_l, F_l, f_l):
+        elems = _build_elements_local(C_l, c_l, F_l, f_l)
+        ident = _identity_element(B, n, dtype)
+
+        # 1. local suffix composition: seq[t] = e_t o ... o e_{last local}
+        def step(carry, e):
+            comb = _combine(e, carry)
+            return comb, comb
+
+        total, seq = jax.lax.scan(step, ident, elems, reverse=True)
+
+        # 2. chunk totals across devices; suffix-compose the D totals
+        totals = jax.lax.all_gather(total, time_axis)  # (D, B, ...)
+        # rights[i] = totals[i] o ... o totals[D-1]; right-exclusive shift
+        _, rights = jax.lax.scan(step, ident, totals, reverse=True)
+        rights_excl = jax.tree_util.tree_map(
+            lambda r, i: jnp.concatenate([r[1:], i[None]], axis=0),
+            rights,
+            ident,
+        )
+        idx = jax.lax.axis_index(time_axis)
+        my_right = jax.tree_util.tree_map(lambda r: r[idx], rights_excl)
+
+        # 3. global suffix per local step in ONE batched combine
+        T_l = C_l.shape[0]
+        right_b = jax.tree_util.tree_map(
+            lambda r: jnp.broadcast_to(r[None], (T_l,) + r.shape), my_right
+        )
+        glob = _combine(seq, right_b)
+        _, _, _, eta_g, J_g = glob
+
+        # V_{t+1} within the chunk: shift by one, boundary = my_right's value
+        _, _, _, eta_r, J_r = my_right
+        V_next = jnp.concatenate([J_g[1:], J_r[None]], axis=0)
+        v_next = jnp.concatenate([-eta_g[1:], -eta_r[None]], axis=0)
+
+        K, k = _gains_from_value(C_l, c_l, F_l, f_l, V_next, v_next, n, reg)
+        return K, k
+
+    def _build_elements_local(C_l, c_l, F_l, f_l):
+        # the global T-1 zeroing of (A, b, C) in _build_elements must only
+        # apply on the LAST chunk; rebuild it index-aware here
+        elems = _build_elements(C_l, c_l, F_l, f_l, n, reg=reg)
+        A_el, b_el, C_el, eta_el, J_el = elems
+        # _build_elements zeroed the local last slice unconditionally; undo
+        # it on every chunk but the global last one
+        is_last = jax.lax.axis_index(time_axis) == D - 1
+        T_l = C_l.shape[0]
+        Qxx = C_l[..., :n, :n]
+        Qxu = C_l[..., :n, n:]
+        Quu = C_l[..., n:, n:]
+        qu = c_l[..., n:]
+        Fx = F_l[..., :, :n]
+        Fu = F_l[..., :, n:]
+        chol_uu = cholesky_small(Quu[-1], reg)
+        iQuu_Qux = cho_solve_small(chol_uu, btrans(Qxu[-1]))
+        iQuu_qu = cho_solve_small(chol_uu, qu[-1][..., None])[..., 0]
+        iQuu_FuT = cho_solve_small(chol_uu, btrans(Fu[-1]))
+        A_last = Fx[-1] - bmm(Fu[-1], iQuu_Qux)
+        b_last = f_l[-1] - bmv(Fu[-1], iQuu_qu)
+        C_last = symmetrize(bmm(Fu[-1], iQuu_FuT))
+        sel = lambda z, nz: jnp.where(is_last, z, nz)
+        A_el = A_el.at[T_l - 1].set(sel(A_el[T_l - 1], A_last))
+        b_el = b_el.at[T_l - 1].set(sel(b_el[T_l - 1], b_last))
+        C_el = C_el.at[T_l - 1].set(sel(C_el[T_l - 1], C_last))
+        return (A_el, b_el, C_el, eta_el, J_el)
+
+    shard = jax.shard_map(
+        local_block,
+        mesh=mesh,
+        in_specs=(P(time_axis), P(time_axis), P(time_axis), P(time_axis)),
+        out_specs=(P(time_axis), P(time_axis)),
+        check_vma=False,  # axis_index-dependent element edits are per-device
+    )
+    K, k = shard(C, c, F, f)
     free = jnp.ones((T, B, m), dtype=bool)
     return RiccatiResult(K, k, free, jnp.zeros((T, B), jnp.int32))

@@ -30,7 +30,7 @@ from typing import Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from ..utils.batch import bmm, bmv, bquad, bdot, btrans, eclamp, symmetrize
+from ..utils.batch import bmm, bmv, bquad, bdot, btrans, eclamp, match_vma, symmetrize
 from .pnqp import masked_identity_system, pnqp
 from .smallchol import cho_solve_small, cholesky_small
 
@@ -159,8 +159,8 @@ def riccati_backward(
         V_new = symmetrize(V_new)
         return (V_new, v_new), dict(K=K, k=kt, free=free, qp=qp_iters)
 
-    V0 = jnp.zeros((B, n, n), dtype=dtype)
-    v0 = jnp.zeros((B, n), dtype=dtype)
+    V0 = match_vma(jnp.zeros((B, n, n), dtype=dtype), (C, c, F))
+    v0 = match_vma(jnp.zeros((B, n), dtype=dtype), (C, c, F))
     with jax.named_scope("riccati_backward"):
         _, out = jax.lax.scan(step, (V0, v0), xs, reverse=True)
     return RiccatiResult(out["K"], out["k"], out["free"], out["qp"])

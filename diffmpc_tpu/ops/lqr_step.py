@@ -46,7 +46,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from ..utils.batch import bger, bmv, btrans
+from ..utils.batch import bger, bmv, btrans, match_vma
 from .lqr import (
     lqr_linesearch_rollout,
     lqr_rollout,
@@ -68,6 +68,7 @@ class LqrSpec:
     max_linesearch_iter: int = 10
     delta_u: Optional[float] = None
     use_pallas: Optional[bool] = None  # None = auto (TPU yes, CPU no)
+    pallas_interpret: bool = False  # Mosaic interpret mode (CPU-executable)
 
 
 def _resolve_use_pallas(use_pallas: Optional[bool]) -> bool:
@@ -97,6 +98,7 @@ def _riccati(spec: LqrSpec, C, c, F, f, n_state, **kwargs):
         m = C.shape[-1] - n_state
         if B >= TILE_B // 2:
             kwargs.pop("pnqp_eps", None)
+            kwargs["interpret"] = spec.pallas_interpret
             if fits_vmem(T, n_state, m):
                 return riccati_backward_pallas(C, c, F, f, n_state, **kwargs)
             from .pallas.riccati_stream import riccati_backward_pallas_stream
@@ -190,6 +192,7 @@ def lqr_step(
             dyn=dyn_kernel if dynamics_fn is not None else None,
             decay=spec.linesearch_decay,
             max_iter=spec.max_linesearch_iter,
+            interpret=spec.pallas_interpret,
         )
     elif fusable:
         from .pallas.rollout_stream import linesearch_rollout_pallas_stream
@@ -210,6 +213,7 @@ def lqr_step(
             dyn=dyn_kernel if dynamics_fn is not None else None,
             decay=spec.linesearch_decay,
             max_iter=spec.max_linesearch_iter,
+            interpret=spec.pallas_interpret,
         )
     else:
         ls = lqr_linesearch_rollout(
@@ -277,6 +281,8 @@ def _kkt_backward_impl(spec, res, grads):
     gx, gu = grads
     n = spec.n_state
     T = C.shape[0]
+    B = C.shape[1]
+    m = C.shape[-1] - n
 
     if spec.constrained:
         tight = (u_star <= u_lower + spec.tight_eps) | (
@@ -286,6 +292,31 @@ def _kkt_backward_impl(spec, res, grads):
         tight = jnp.zeros_like(u_star, dtype=bool)
     gu = jnp.where(tight, 0.0, gu)
     r = jnp.concatenate([gx, gu], axis=-1)  # (T, B, n+m)
+
+    # Fast path: the fused Pallas KKT kernel runs the whole backward
+    # (masked aux Riccati + differential rollout + multiplier recursions +
+    # gradient assembly) in one launch — see ops/pallas/kkt.py.
+    if _resolve_use_pallas(spec.use_pallas):
+        from .pallas.kkt import TILE_B, kkt_backward_fused, kkt_fits_vmem
+
+        if B >= TILE_B // 2 and kkt_fits_vmem(T, n, m):
+            tau = jnp.concatenate([x_star, u_star], axis=-1)
+            dx_init, dC, dc, dF, df = kkt_backward_fused(
+                C, c, F, r, tau, tight, reg=spec.back_eps,
+                interpret=spec.pallas_interpret,
+            )
+            zeros_like = jnp.zeros_like
+            return (
+                dx_init,
+                dC,
+                dc,
+                dF,
+                df,
+                zeros_like(x_star),
+                zeros_like(u_star),
+                zeros_like(u_lower),
+                zeros_like(u_upper),
+            )
 
     # Auxiliary (adjoint) LQR: min 0.5 p'C p + r'p, A p = 0, tight dims
     # frozen. Solved by the same Riccati recursion with identity-masked
@@ -310,7 +341,10 @@ def _kkt_backward_impl(spec, res, grads):
 
         lam0, lam_next_seq = jax.lax.scan(
             step,
-            jnp.zeros(traj.shape[1:2] + (n,), dtype=traj.dtype),
+            match_vma(
+                jnp.zeros(traj.shape[1:2] + (n,), dtype=traj.dtype),
+                (Ct, lin, traj, Fx),
+            ),
             (Ct, lin, traj, Fx),
             reverse=True,
         )

@@ -40,6 +40,7 @@ from .riccati import (
     _pnqp_entries,
     _from_kernel_layout,
     _to_kernel_layout,
+    out_struct,
 )
 
 
@@ -50,6 +51,8 @@ class FusedSolveResult(NamedTuple):
     converged: jnp.ndarray  # (B,) bool
     last_improvement: jnp.ndarray  # (B,)
     alpha: jnp.ndarray  # (B,)
+    n_iters: jnp.ndarray  # (B,) int32 — iLQR iterations while active
+    qp_iters: jnp.ndarray  # (B,) mean pnqp iterations (last active iteration)
 
 
 def _make_kernel(
@@ -67,6 +70,7 @@ def _make_kernel(
     not_improved_lim,
     entries_step,
     n_params,
+    has_u_init,
 ):
     nm = n + m
 
@@ -77,10 +81,14 @@ def _make_kernel(
             i += 1
         C_ref, c_ref, x0_ref, lo_ref, hi_ref = refs[i : i + 5]
         i += 5
-        (xs_o, us_o, obj_o, conv_o, impr_o, alpha_o) = refs[i : i + 6]
-        (xh_s, uh_s, bx_s, bu_s, K_s, k_s, st_s) = refs[i + 6 : i + 13]
+        if has_u_init:
+            ui_ref = refs[i]
+            i += 1
+        (xs_o, us_o, obj_o, conv_o, impr_o, alpha_o, iters_o, qp_o) = refs[i : i + 8]
+        (xh_s, uh_s, bx_s, bu_s, K_s, k_s, st_s) = refs[i + 8 : i + 15]
         # st_s rows: 0 cur_obj, 1 best_obj, 2 done, 3 n_not_improved,
-        #           4 last_improvement, 5 last_alpha
+        #           4 last_improvement, 5 last_alpha, 6 n_iters,
+        #           7 mean qp iters (last active iteration)
 
         params = [params_ref[j, 0] for j in range(n_params)] if n_params else None
         zero = jnp.zeros((SUBLANE, LANE), jnp.float32)
@@ -103,11 +111,19 @@ def _make_kernel(
                 acc = term if acc is None else acc + term
             return acc
 
-        # ---- initial trajectory: zero controls (clamped into the box) ----
+        # ---- initial trajectory: warm-start controls when given (the
+        # reference's u_init, clamped into the box), else zero controls ----
         def init_body(t, carry):
             obj = carry[0]
             x = list(carry[1:])
-            u = [jnp.clip(zero, lo_ref[0, t, a], hi_ref[0, t, a]) for a in range(m)]
+            u = [
+                jnp.clip(
+                    ui_ref[0, t, a] if has_u_init else zero,
+                    lo_ref[0, t, a],
+                    hi_ref[0, t, a],
+                )
+                for a in range(m)
+            ]
             for a in range(n):
                 xh_s[t, a] = x[a]
                 bx_s[t, a] = x[a]
@@ -125,6 +141,8 @@ def _make_kernel(
         st_s[3] = zero  # n_not_improved
         st_s[4] = jnp.full((SUBLANE, LANE), jnp.inf, jnp.float32)
         st_s[5] = one  # last_alpha
+        st_s[6] = zero  # per-scenario iLQR iteration count
+        st_s[7] = zero  # mean pnqp iterations of the last active iteration
 
         def iteration():
             cur_obj = st_s[0]
@@ -140,6 +158,7 @@ def _make_kernel(
                 t = T - 1 - s
                 V = [[Vv[a * n + b] for b in range(n)] for a in range(n)]
                 v = [Vv[n * n + a] for a in range(n)]
+                qp_sum = Vv[n * n + n]
                 xh = [xh_s[t, a] for a in range(n)]
                 uh = [uh_s[t, a] for a in range(m)]
 
@@ -183,7 +202,8 @@ def _make_kernel(
                 qu = [q[n + a] for a in range(m)]
                 lo_d = [lo_ref[0, t, a] - uh[a] for a in range(m)]
                 hi_d = [hi_ref[0, t, a] - uh[a] for a in range(m)]
-                kt, frozen = _pnqp_entries(Quu, qu, lo_d, hi_d, m, pnqp_iter, reg)
+                kt, frozen, n_qp = _pnqp_entries(Quu, qu, lo_d, hi_d, m, pnqp_iter, reg)
+                qp_sum = qp_sum + n_qp
                 rhs_cols = [[Qux[a][b] for a in range(m)] for b in range(n)]
                 K_cols = _masked_chol_solve(Quu, rhs_cols, frozen, m, reg)
                 K = [[-K_cols[b][a] for b in range(n)] for a in range(m)]
@@ -214,9 +234,16 @@ def _make_kernel(
                     + sum(K[r][a] * (qu[r] + Quuk[r]) for r in range(m))
                     for a in range(n)
                 ]
-                return tuple(Vn[a][b] for a in range(n) for b in range(n)) + tuple(vn)
+                return (
+                    tuple(Vn[a][b] for a in range(n) for b in range(n))
+                    + tuple(vn)
+                    + (qp_sum,)
+                )
 
-            jax.lax.fori_loop(0, T, ric_body, tuple(zero for _ in range(n * n + n)))
+            ric_out = jax.lax.fori_loop(
+                0, T, ric_body, tuple(zero for _ in range(n * n + n + 1))
+            )
+            st_s[7] = jnp.where(active > 0, ric_out[n * n + n] / T, st_s[7])
 
             # ---- line-searched rollout through the true dynamics ----
             def control(t, x, alpha):
@@ -285,6 +312,7 @@ def _make_kernel(
             st_s[3] = nni
             st_s[4] = jnp.where(active > 0, improvement, last_improvement)
             st_s[5] = jnp.where(active > 0, chosen, last_alpha)
+            st_s[6] = st_s[6] + active
             newly_done = (improvement < eps) | (nni >= not_improved_lim)
             st_s[2] = jnp.maximum(done, jnp.where(newly_done, 1.0, 0.0))
 
@@ -309,6 +337,8 @@ def _make_kernel(
         conv_o[0, 0] = jnp.where(st_s[4] < eps, 1.0, 0.0)
         impr_o[0, 0] = st_s[4]
         alpha_o[0, 0] = st_s[5]
+        iters_o[0, 0] = st_s[6]
+        qp_o[0, 0] = st_s[7]
 
     return kernel
 
@@ -321,6 +351,7 @@ def ilqr_solve_fused(
     u_lower: jnp.ndarray,
     u_upper: jnp.ndarray,
     *,
+    u_init: Optional[jnp.ndarray] = None,
     lqr_iter: int = 10,
     pnqp_iter: int = 8,
     reg: float = 1e-9,
@@ -333,7 +364,9 @@ def ilqr_solve_fused(
     interpret: bool = False,
 ) -> FusedSolveResult:
     """Full fused iLQR solve; contract mirrors the corresponding
-    :func:`diffmpc_tpu.mpc.mpc_solve` configuration (zero-control start).
+    :func:`diffmpc_tpu.mpc.mpc_solve` configuration. ``u_init (T,B,m)``
+    warm-starts the initial rollout (the reference's ``u_init``/receding-
+    horizon ``prev_ctrl`` threading); None starts from zero controls.
 
     ``C (T,B,nm,nm)``, ``c (T,B,nm)``, bounds ``(T,B,m)``; ``dyn`` must
     provide ``kernel_params()`` and ``entries_step``.
@@ -360,6 +393,10 @@ def ilqr_solve_fused(
             [jnp.broadcast_to(u_upper, (T, orig_B, m)), jnp.full((T, pad, m), 1.0, dtype)],
             axis=1,
         )
+        if u_init is not None:
+            u_init = jnp.concatenate(
+                [u_init, jnp.zeros((T, pad, m), dtype)], axis=1
+            )
         B += pad
     G = B // TILE_B
 
@@ -387,14 +424,18 @@ def ilqr_solve_fused(
     add(_to_kernel_layout(f32(x_init)[None], G)[:, 0])  # (G, n, S, 128)
     add(_to_kernel_layout(f32(jnp.broadcast_to(u_lower, (T, B, m))), G))
     add(_to_kernel_layout(f32(jnp.broadcast_to(u_upper, (T, B, m))), G))
+    if u_init is not None:
+        add(_to_kernel_layout(f32(u_init), G))
 
     out_shapes = [
-        jax.ShapeDtypeStruct((G, T, n, SUBLANE, LANE), jnp.float32),  # xs
-        jax.ShapeDtypeStruct((G, T, m, SUBLANE, LANE), jnp.float32),  # us
-        jax.ShapeDtypeStruct((G, 1, SUBLANE, LANE), jnp.float32),  # obj
-        jax.ShapeDtypeStruct((G, 1, SUBLANE, LANE), jnp.float32),  # conv
-        jax.ShapeDtypeStruct((G, 1, SUBLANE, LANE), jnp.float32),  # last impr
-        jax.ShapeDtypeStruct((G, 1, SUBLANE, LANE), jnp.float32),  # alpha
+        out_struct((G, T, n, SUBLANE, LANE), ins),  # xs
+        out_struct((G, T, m, SUBLANE, LANE), ins),  # us
+        out_struct((G, 1, SUBLANE, LANE), ins),  # obj
+        out_struct((G, 1, SUBLANE, LANE), ins),  # conv
+        out_struct((G, 1, SUBLANE, LANE), ins),  # last impr
+        out_struct((G, 1, SUBLANE, LANE), ins),  # alpha
+        out_struct((G, 1, SUBLANE, LANE), ins),  # n_iters
+        out_struct((G, 1, SUBLANE, LANE), ins),  # qp_iters
     ]
     out_specs = [
         pl.BlockSpec(
@@ -411,15 +452,15 @@ def ilqr_solve_fused(
         pltpu.VMEM((T, m, SUBLANE, LANE), jnp.float32),  # best u
         pltpu.VMEM((T, m, n, SUBLANE, LANE), jnp.float32),  # K
         pltpu.VMEM((T, m, SUBLANE, LANE), jnp.float32),  # k
-        pltpu.VMEM((6, SUBLANE, LANE), jnp.float32),  # iteration state
+        pltpu.VMEM((8, SUBLANE, LANE), jnp.float32),  # iteration state
     ]
 
     kernel = _make_kernel(
         T, n, m, lqr_iter, pnqp_iter, reg, decay, max_linesearch_iter,
         delta_u, eps, best_cost_eps, not_improved_lim,
-        dyn.entries_step, n_params,
+        dyn.entries_step, n_params, u_init is not None,
     )
-    xs_l, us_l, obj_l, conv_l, impr_l, alpha_l = pl.pallas_call(
+    xs_l, us_l, obj_l, conv_l, impr_l, alpha_l, iters_l, qp_l = pl.pallas_call(
         kernel,
         grid=(G,),
         in_specs=in_specs,
@@ -435,4 +476,6 @@ def ilqr_solve_fused(
     conv = _from_kernel_layout(conv_l)[0, :orig_B] > 0.5
     impr = _from_kernel_layout(impr_l)[0, :orig_B].astype(dtype)
     alpha = _from_kernel_layout(alpha_l)[0, :orig_B].astype(dtype)
-    return FusedSolveResult(xs, us, objs, conv, impr, alpha)
+    n_iters = _from_kernel_layout(iters_l)[0, :orig_B].astype(jnp.int32)
+    qp_iters = _from_kernel_layout(qp_l)[0, :orig_B].astype(dtype)
+    return FusedSolveResult(xs, us, objs, conv, impr, alpha, n_iters, qp_iters)

@@ -117,7 +117,11 @@ def _masked_chol_solve(Quu, rhs_cols, frozen, m, reg):
 def _pnqp_entries(Quu, qu, lo, hi, m, n_iter, reg):
     """In-kernel batched projected-Newton box QP in the entry-tile layout —
     the fused counterpart of ops/pnqp.py (same masking trick, fixed trip
-    count, first-improving-step Armijo ladder)."""
+    count with per-scenario freezing, first-improving-step Armijo ladder).
+
+    Returns ``(x, frozen, n_qp)`` where ``n_qp`` is the per-scenario count of
+    Newton iterations actually used (ops/pnqp.py ``PnqpResult.n_iter``
+    semantics — truthful solver stats on the Pallas path too)."""
     if m == 1:
         h = Quu[0][0] + reg
         x = jnp.clip(-qu[0] / h, lo[0], hi[0])
@@ -129,7 +133,7 @@ def _pnqp_entries(Quu, qu, lo, hi, m, n_iter, reg):
             1.0,
             0.0,
         )
-        return [x], [clamped]
+        return [x], [clamped], jnp.ones_like(x)
 
     # start from the clamped unconstrained Newton point
     L0 = _chol_entries(Quu, m, reg)
@@ -144,6 +148,8 @@ def _pnqp_entries(Quu, qu, lo, hi, m, n_iter, reg):
         return sum(0.5 * xv[i] * Hx[i] + qu[i] * xv[i] for i in range(m))
 
     frozen = None
+    done = jnp.zeros_like(x[0])
+    n_qp = jnp.zeros_like(x[0])
     for _ in range(n_iter):
         g = [matvec(Quu, x)[i] + qu[i] for i in range(m)]
         frozen = [
@@ -156,6 +162,11 @@ def _pnqp_entries(Quu, qu, lo, hi, m, n_iter, reg):
             for i in range(m)
         ]
         (dx,) = _masked_chol_solve(Quu, [[-g[i] for i in range(m)]], frozen, m, reg)
+        step_small = jnp.where(
+            sum(jnp.maximum(jnp.abs(dx[i]) - 1e-6, 0.0) for i in range(m)) == 0.0,
+            1.0,
+            0.0,
+        )
         f0 = obj(x)
         best = x
         accepted = jnp.zeros_like(f0)
@@ -168,7 +179,12 @@ def _pnqp_entries(Quu, qu, lo, hi, m, n_iter, reg):
             best = [jnp.where(better, cand[i], best[i]) for i in range(m)]
             accepted = jnp.where(better, 1.0, accepted)
             alpha *= 0.5
-        x = best
+        # freeze converged scenarios (XLA pnqp parity: done elements keep x;
+        # n_qp counts iterations while active)
+        x = [jnp.where(done > 0, x[i], best[i]) for i in range(m)]
+        n_qp = n_qp + (1.0 - done)
+        newly_done = jnp.maximum(step_small, 1.0 - accepted)
+        done = jnp.maximum(done, newly_done)
 
     g = [sum(Quu[i][j] * x[j] for j in range(m)) + qu[i] for i in range(m)]
     frozen = [
@@ -180,7 +196,7 @@ def _pnqp_entries(Quu, qu, lo, hi, m, n_iter, reg):
         )
         for i in range(m)
     ]
-    return x, frozen
+    return x, frozen, n_qp
 
 
 # ---------------------------------------------------------------------------
@@ -193,7 +209,8 @@ def _make_kernel(T, n, m, mode, reg, pnqp_iter):
 
     def kernel(*refs):
         if mode == "box":
-            C_ref, c_ref, F_ref, f_ref, lo_ref, hi_ref, K_ref, k_ref, free_ref = refs
+            (C_ref, c_ref, F_ref, f_ref, lo_ref, hi_ref,
+             K_ref, k_ref, free_ref, nqp_ref) = refs
         elif mode == "mask":
             C_ref, c_ref, F_ref, f_ref, mask_ref, K_ref, k_ref, free_ref = refs
         else:
@@ -237,7 +254,8 @@ def _make_kernel(T, n, m, mode, reg, pnqp_iter):
             if mode == "box":
                 lo = [lo_ref[0, t, a] for a in range(m)]
                 hi = [hi_ref[0, t, a] for a in range(m)]
-                kt, frozen = _pnqp_entries(Quu, qu, lo, hi, m, pnqp_iter, reg)
+                kt, frozen, n_qp = _pnqp_entries(Quu, qu, lo, hi, m, pnqp_iter, reg)
+                nqp_ref[0, t, 0] = n_qp
                 rhs_cols = [[Qux[a][b] for a in range(m)] for b in range(n)]
                 K_cols = _masked_chol_solve(Quu, rhs_cols, frozen, m, reg)
                 K = [[-K_cols[b][a] for b in range(n)] for a in range(m)]
@@ -296,6 +314,19 @@ def _make_kernel(T, n, m, mode, reg, pnqp_iter):
         jax.lax.fori_loop(0, T, step, init)
 
     return kernel
+
+
+def out_struct(shape, ref_ins, dtype=jnp.float32):
+    """``jax.ShapeDtypeStruct`` for a pallas_call output, typed with the
+    union of the inputs' varying-manual-axes so the kernels compose with
+    ``shard_map(..., check_vma=True)`` (outside a manual-axes context this
+    is a plain struct)."""
+    vma: set = set()
+    for leaf in jax.tree_util.tree_leaves(ref_ins):
+        vma |= set(jax.typeof(leaf).vma)
+    if vma:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=frozenset(vma))
+    return jax.ShapeDtypeStruct(shape, dtype)
 
 
 def _to_kernel_layout(x, G):
@@ -390,12 +421,16 @@ def riccati_backward_pallas(
         )
 
     out_shapes = [
-        jax.ShapeDtypeStruct((G, T, m, n, SUBLANE, LANE), jnp.float32),  # K
-        jax.ShapeDtypeStruct((G, T, m, SUBLANE, LANE), jnp.float32),  # k
-        jax.ShapeDtypeStruct((G, T, m, SUBLANE, LANE), jnp.float32),  # free
+        out_struct((G, T, m, n, SUBLANE, LANE), ins),  # K
+        out_struct((G, T, m, SUBLANE, LANE), ins),  # k
+        out_struct((G, T, m, SUBLANE, LANE), ins),  # free
     ]
+    if mode == "box":
+        out_shapes.append(
+            out_struct((G, T, 1, SUBLANE, LANE), ins)  # n_qp
+        )
     kernel = _make_kernel(T, n, m, mode, reg, pnqp_iter)
-    K_l, k_l, free_l = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=(G,),
         in_specs=[spec(x) for x in ins],
@@ -403,9 +438,13 @@ def riccati_backward_pallas(
         out_shape=out_shapes,
         interpret=interpret,
     )(*ins)
+    K_l, k_l, free_l = outs[:3]
 
     K = _from_kernel_layout(K_l)[:, :orig_B].astype(dtype)
     k = _from_kernel_layout(k_l)[:, :orig_B].astype(dtype)
     free = _from_kernel_layout(free_l)[:, :orig_B] > 0.5
-    n_qp = jnp.zeros((T, orig_B), jnp.int32)
+    if mode == "box":
+        n_qp = _from_kernel_layout(outs[3])[:, :orig_B, 0].astype(jnp.int32)
+    else:
+        n_qp = jnp.zeros((T, orig_B), jnp.int32)
     return RiccatiResult(K, k, free, n_qp)

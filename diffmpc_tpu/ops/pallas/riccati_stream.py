@@ -25,6 +25,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..lqr import RiccatiResult
 from .riccati import (
+    out_struct,
     LANE,
     SUBLANE,
     TILE_B,
@@ -111,7 +112,7 @@ def _make_kernel(T, n, m, mode, reg, pnqp_iter):
             if mode == "box":
                 lo = [bufs[4][slot, a] for a in range(m)]
                 hi = [bufs[5][slot, a] for a in range(m)]
-                kt, frozen = _pnqp_entries(Quu, qu, lo, hi, m, pnqp_iter, reg)
+                kt, frozen, _n_qp = _pnqp_entries(Quu, qu, lo, hi, m, pnqp_iter, reg)
                 rhs_cols = [[Qux[a][b] for a in range(m)] for b in range(n)]
                 K_cols = _masked_chol_solve(Quu, rhs_cols, frozen, m, reg)
                 K = [[-K_cols[b][a] for b in range(n)] for a in range(m)]
@@ -250,9 +251,9 @@ def riccati_backward_pallas_stream(
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     out_shapes = [
-        jax.ShapeDtypeStruct((G, T, m, n, SUBLANE, LANE), jnp.float32),
-        jax.ShapeDtypeStruct((G, T, m, SUBLANE, LANE), jnp.float32),
-        jax.ShapeDtypeStruct((G, T, m, SUBLANE, LANE), jnp.float32),
+        out_struct((G, T, m, n, SUBLANE, LANE), ins),
+        out_struct((G, T, m, SUBLANE, LANE), ins),
+        out_struct((G, T, m, SUBLANE, LANE), ins),
     ]
     n_in = len(ins)
     scratch = [

@@ -27,7 +27,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..lqr import LineSearchResult
-from .riccati import LANE, SUBLANE, TILE_B, _from_kernel_layout, _to_kernel_layout
+from .riccati import out_struct, LANE, SUBLANE, TILE_B, _from_kernel_layout, _to_kernel_layout
 
 
 def _make_kernel(
@@ -230,11 +230,11 @@ def linesearch_rollout_pallas(
         add(_to_kernel_layout(f32(jnp.broadcast_to(u_upper, (T, B, mm))), G))
 
     out_shapes = [
-        jax.ShapeDtypeStruct((G, T, n, SUBLANE, LANE), jnp.float32),  # xs
-        jax.ShapeDtypeStruct((G, T, mm, SUBLANE, LANE), jnp.float32),  # us
-        jax.ShapeDtypeStruct((G, 1, SUBLANE, LANE), jnp.float32),  # obj
-        jax.ShapeDtypeStruct((G, 1, SUBLANE, LANE), jnp.float32),  # alpha
-        jax.ShapeDtypeStruct((G, 1, SUBLANE, LANE), jnp.float32),  # improved
+        out_struct((G, T, n, SUBLANE, LANE), ins),  # xs
+        out_struct((G, T, mm, SUBLANE, LANE), ins),  # us
+        out_struct((G, 1, SUBLANE, LANE), ins),  # obj
+        out_struct((G, 1, SUBLANE, LANE), ins),  # alpha
+        out_struct((G, 1, SUBLANE, LANE), ins),  # improved
     ]
     out_specs = [
         pl.BlockSpec(

@@ -21,6 +21,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..lqr import LineSearchResult
 from .riccati import (
+    out_struct,
     LANE,
     SUBLANE,
     TILE_B,
@@ -280,11 +281,11 @@ def linesearch_rollout_pallas_stream(
     )
 
     out_shapes = [
-        jax.ShapeDtypeStruct((G, T, n, SUBLANE, LANE), jnp.float32),
-        jax.ShapeDtypeStruct((G, T, mm, SUBLANE, LANE), jnp.float32),
-        jax.ShapeDtypeStruct((G, 1, SUBLANE, LANE), jnp.float32),
-        jax.ShapeDtypeStruct((G, 1, SUBLANE, LANE), jnp.float32),
-        jax.ShapeDtypeStruct((G, 1, SUBLANE, LANE), jnp.float32),
+        out_struct((G, T, n, SUBLANE, LANE), ins),
+        out_struct((G, T, mm, SUBLANE, LANE), ins),
+        out_struct((G, 1, SUBLANE, LANE), ins),
+        out_struct((G, 1, SUBLANE, LANE), ins),
+        out_struct((G, 1, SUBLANE, LANE), ins),
     ]
     out_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 2 + [
         pl.BlockSpec(

@@ -27,7 +27,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from ..utils.batch import PRECISION, bmv, bquad, bdot, eclamp
+from ..utils.batch import PRECISION, bmv, bquad, bdot, eclamp, match_vma
 from .smallchol import cho_solve_small, cholesky_small
 
 
@@ -160,8 +160,8 @@ def pnqp(
         return x, done, iters
 
     batch_shape = q.shape[:-1]
-    done0 = jnp.zeros(batch_shape, dtype=bool)
-    iters0 = jnp.zeros(batch_shape, dtype=jnp.int32)
+    done0 = match_vma(jnp.zeros(batch_shape, dtype=bool), (H, q, x0))
+    iters0 = match_vma(jnp.zeros(batch_shape, dtype=jnp.int32), (H, q, x0))
     x, _, iters = jax.lax.fori_loop(0, n_iter, body, (x0, done0, iters0))
 
     # Final active set + factorization for reuse by the caller.

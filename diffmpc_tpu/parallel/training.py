@@ -65,6 +65,7 @@ def make_dp_train_step(
     mesh: Optional[Mesh] = None,
     u_lower=None,
     u_upper=None,
+    check_vma: Optional[bool] = None,
 ):
     """Build a jitted (optionally data-parallel) imitation train step.
 
@@ -77,13 +78,42 @@ def make_dp_train_step(
     whole parallelism story — SURVEY.md §2.3).
     """
 
+    if mesh is not None and check_vma is None:
+        # On the XLA path the full varying-manual-axes checker runs: every
+        # literal-initialized solver carry is VMA-promoted at its init site
+        # (utils.batch.match_vma) and the Pallas kernels type their outputs
+        # (ops.pallas.riccati.out_struct), so replication bugs inside the
+        # solve are caught at trace time rather than silently miscomputed.
+        # When the Pallas kernels engage the checker must be off: JAX
+        # traces pallas kernel BODIES inside the manual-axes context where
+        # ref reads are VMA-typed inconsistently (verified on hardware
+        # 2026-08-17: the compiled mega-kernel under a 1-device-mesh
+        # shard_map is bitwise equal to the unsharded solve with the
+        # checker off, and fails to trace with it on).
+        from ..ops.lqr_step import _resolve_use_pallas
+
+        check_vma = not _resolve_use_pallas(config.use_pallas)
+
     def local_grads(params, x_init, u_expert):
-        (loss, info), grads = jax.value_and_grad(
-            lambda p: imitation_loss(
+        def loss_fn(p):
+            loss, info = imitation_loss(
                 config, p, make_problem, x_init, u_expert, u_lower, u_upper
-            ),
-            has_aux=True,
-        )(params)
+            )
+            if mesh is not None and check_vma:
+                # VMA mode: form the global-mean loss INSIDE the
+                # differentiated function (SURVEY.md §2.3 "communication
+                # backend" row: pmean over ICI is the TPU-native equivalent
+                # of the gradient reduction the reference never had). Under
+                # varying-manual-axes typing the cotangent of a replicated
+                # parameter is psum'd across devices by the transpose of
+                # the implicit varying-promotion, so differentiating the
+                # pmean'd loss yields exactly the global-batch gradient; a
+                # post-hoc pmean-of-grads (the pre-VMA idiom) would leave
+                # an n_devices-times-too-large sum.
+                loss = jax.lax.pmean(loss, BATCH_AXIS)
+            return loss, info
+
+        (loss, info), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         conv = jnp.mean(info.converged.astype(jnp.float32))
         # Solver-health stats (SURVEY.md §5.5): mean last-iteration
         # improvement (the solve residual) and clamped-control fraction.
@@ -93,28 +123,26 @@ def make_dp_train_step(
         )
         clamp = jnp.mean(info.clamp_frac)
         if mesh is not None:
-            # Explicit cross-device reductions of the loss gradient and the
-            # QP/solver residual stats (SURVEY.md §2.3 "communication
-            # backend" row: the reference ships none; psum/pmean over ICI is
-            # the TPU-native equivalent).
-            loss = jax.lax.pmean(loss, BATCH_AXIS)
-            grads = jax.lax.pmean(grads, BATCH_AXIS)
+            if not check_vma:
+                # non-VMA mode: psum's transpose is identity, so the grad
+                # of a pmean'd loss would stay an unreduced per-device
+                # local gradient — reduce explicitly AFTER differentiation
+                # instead (the classic idiom). Both modes are pinned by
+                # tests/test_sharding.py agreement tests.
+                loss = jax.lax.pmean(loss, BATCH_AXIS)
+                grads = jax.lax.pmean(grads, BATCH_AXIS)
             conv = jax.lax.pmean(conv, BATCH_AXIS)
             resid = jax.lax.pmean(resid, BATCH_AXIS)
             clamp = jax.lax.pmean(clamp, BATCH_AXIS)
         return loss, grads, conv, resid, clamp
 
     if mesh is not None:
-        # check_vma=False: the iLQR while_loop initializes per-element
-        # carries (done masks, best costs) from literals, which JAX's
-        # varying-manual-axes tracker refuses to unify with batch-varying
-        # outputs inside shard_map.
         grads_fn = jax.shard_map(
             local_grads,
             mesh=mesh,
             in_specs=(P(), P(BATCH_AXIS), P(None, BATCH_AXIS)),
             out_specs=(P(), P(), P(), P(), P()),
-            check_vma=False,
+            check_vma=check_vma,
         )
     else:
         grads_fn = local_grads

