@@ -295,28 +295,45 @@ def _kkt_backward_impl(spec, res, grads):
 
     # Fast path: the fused Pallas KKT kernel runs the whole backward
     # (masked aux Riccati + differential rollout + multiplier recursions +
-    # gradient assembly) in one launch — see ops/pallas/kkt.py.
+    # gradient assembly) in one launch — VMEM-resident when the horizon
+    # fits (ops/pallas/kkt.py), HBM-streaming otherwise
+    # (ops/pallas/kkt_stream.py).
     if _resolve_use_pallas(spec.use_pallas):
         from .pallas.kkt import TILE_B, kkt_backward_fused, kkt_fits_vmem
 
-        if B >= TILE_B // 2 and kkt_fits_vmem(T, n, m):
-            tau = jnp.concatenate([x_star, u_star], axis=-1)
-            dx_init, dC, dc, dF, df = kkt_backward_fused(
-                C, c, F, r, tau, tight, reg=spec.back_eps,
-                interpret=spec.pallas_interpret,
-            )
-            zeros_like = jnp.zeros_like
-            return (
-                dx_init,
-                dC,
-                dc,
-                dF,
-                df,
-                zeros_like(x_star),
-                zeros_like(u_star),
-                zeros_like(u_lower),
-                zeros_like(u_upper),
-            )
+        from .pallas.riccati import fits_vmem as riccati_fits_vmem
+
+        if B >= TILE_B // 2:
+            fused = None
+            if kkt_fits_vmem(T, n, m):
+                fused = kkt_backward_fused
+            elif not riccati_fits_vmem(T, n, m):
+                # Over the resident-Riccati budget the composite path streams
+                # its Riccati anyway, so the fully-streamed fused backward
+                # wins (measured 1.06x at T=128 B=1024 n=3). In between
+                # (e.g. cartpole T=20) the composite's VMEM-resident Riccati
+                # beats per-step streaming (0.73x) — keep the composite.
+                from .pallas.kkt_stream import kkt_backward_fused_stream
+
+                fused = kkt_backward_fused_stream
+            if fused is not None:
+                tau = jnp.concatenate([x_star, u_star], axis=-1)
+                dx_init, dC, dc, dF, df = fused(
+                    C, c, F, r, tau, tight, reg=spec.back_eps,
+                    interpret=spec.pallas_interpret,
+                )
+                zeros_like = jnp.zeros_like
+                return (
+                    dx_init,
+                    dC,
+                    dc,
+                    dF,
+                    df,
+                    zeros_like(x_star),
+                    zeros_like(u_star),
+                    zeros_like(u_lower),
+                    zeros_like(u_upper),
+                )
 
     # Auxiliary (adjoint) LQR: min 0.5 p'C p + r'p, A p = 0, tight dims
     # frozen. Solved by the same Riccati recursion with identity-masked
