@@ -16,7 +16,7 @@ import numpy as np
 BASELINE_SOLVES_PER_S = 10_000.0
 # Soft wall-clock budget for the secondary metrics below (each one costs a
 # remote compile); whatever does not fit is skipped, never the primary line.
-SECONDARY_BUDGET_S = 420.0
+SECONDARY_BUDGET_S = 330.0
 
 
 
@@ -251,6 +251,40 @@ def main():
             details["long_horizon_T128_solves_per_s"] = round(B / dt_lh, 1)
     except Exception as e:  # pragma: no cover
         details["long_horizon_error"] = repr(e)
+
+    # Learned NN dynamics (SURVEY §3.5 imitation shape) on the fused path.
+    try:
+        if budget_left():
+            from diffmpc_tpu.models import NNDynamics
+
+            nn = NNDynamics.init(
+                jax.random.PRNGKey(0), 3, 1, hidden=(16, 16), residual=True
+            )
+            assert nn.kernel_fusable
+            import dataclasses as _dc
+
+            config_nn = _dc.replace(config, T=15, lqr_iter=8)
+            x_nn = _x_init(B, seed=7)
+
+            @jax.jit
+            def solve_nn(x):
+                sol = mpc_solve(config_nn, x, cost, nn, u_lower=-2.0, u_upper=2.0)
+                return sol.objs
+
+            jax.block_until_ready(solve_nn(x_nn))
+
+            def _t_nn():
+                t0 = time.perf_counter()
+                for _ in range(8):
+                    r = solve_nn(x_nn)
+                jax.block_until_ready(r)
+                return time.perf_counter() - t0
+
+            details["nn_dynamics_solves_per_s_T15_B1024"] = round(
+                8 * B / best_of(3, _t_nn), 1
+            )
+    except Exception as e:  # pragma: no cover
+        details["nn_dynamics_error"] = repr(e)
 
     with open("BENCH_DETAILS.json", "w") as fh:
         json.dump(details, fh, indent=1)

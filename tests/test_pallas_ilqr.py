@@ -259,3 +259,43 @@ def test_fused_nn_dynamics_matches_xla():
         np.asarray(out.objs), np.asarray(ref.objs), rtol=3e-4, atol=3e-4
     )
     np.testing.assert_allclose(np.asarray(out.us), np.asarray(ref.us), atol=1e-3)
+
+
+def test_fused_multi_control_matches_xla():
+    """m=2 through the FULL fused solve: exercises the in-kernel
+    multi-control pnqp (Newton + masked Cholesky) and 2-column gain solves
+    inside the mega-kernel, not just the standalone Riccati tests."""
+    from diffmpc_tpu.models import NNDynamics
+
+    B, T = 48, 6
+    key = jax.random.PRNGKey(11)
+    nn = NNDynamics.init(key, n_state=3, n_ctrl=2, hidden=(8,),
+                         activation="tanh", residual=True)
+    q = jnp.array([1.0, 1.0, 0.1, 0.001, 0.002], jnp.float32)
+    p = jnp.array([-1.0, 0.0, 0.0, 0.0, 0.0], jnp.float32)
+    rng = np.random.default_rng(704)
+    x_init = jnp.asarray(rng.normal(size=(B, 3)) * 0.5, jnp.float32)
+    C = jnp.broadcast_to(jnp.diag(q), (T, B, 5, 5)).astype(jnp.float32)
+    c = jnp.broadcast_to(p, (T, B, 5)).astype(jnp.float32)
+    lo = jnp.full((T, B, 2), -1.0, jnp.float32)
+    hi = jnp.full((T, B, 2), 1.0, jnp.float32)
+
+    config = MPCConfig(
+        n_state=3, n_ctrl=2, T=T, lqr_iter=1, eps=0.0,
+        not_improved_lim=10**6, exit_unconverged=False,
+        detach_unconverged=False, use_pallas=False,
+        grad_method=__import__("diffmpc_tpu").GradMethods.AUTO_DIFF,
+    )
+    ref = jax.jit(
+        lambda x: mpc_solve(config, x, QuadCost(C, c), nn, u_lower=-1.0, u_upper=1.0)
+    )(x_init)
+    out = ilqr_solve_fused(
+        x_init, C, c, nn, lo, hi,
+        lqr_iter=1, eps=0.0, not_improved_lim=10**6, interpret=True,
+    )
+    # some controls must actually hit the box for the test to mean anything
+    assert float(jnp.mean((jnp.abs(out.us) > 1.0 - 1e-4))) > 0.05
+    np.testing.assert_allclose(
+        np.asarray(out.objs), np.asarray(ref.objs), rtol=3e-4, atol=3e-4
+    )
+    np.testing.assert_allclose(np.asarray(out.us), np.asarray(ref.us), atol=1e-3)
