@@ -58,14 +58,16 @@ def main():
     # timing loops swing ~30% run-to-run. Take the best of several loops —
     # the minimum is the honest device number, the rest is interference.
     n_timed = 4  # dispatches of n_sets solves each
-    dt = float("inf")
-    for _ in range(5):
+
+    def _t_primary():
         t0 = time.perf_counter()
+        out = None
         for _ in range(n_timed):
-            us, objs, conv = solve_many(xs_stack)
-        jax.block_until_ready((us, objs, conv))
-        dt = min(dt, time.perf_counter() - t0)
-    solves_per_s = n_timed * n_sets * B / dt
+            out = solve_many(xs_stack)
+        jax.block_until_ready(out)
+        return time.perf_counter() - t0
+
+    solves_per_s = n_timed * n_sets * B / best_of(5, _t_primary)
     objs, conv = objs[0], conv[0]
 
     # The driver-required JSON line goes out FIRST: the secondary metrics

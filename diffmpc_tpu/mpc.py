@@ -337,8 +337,9 @@ def mpc_solve(
     # ------------------------------------------------------------------
     # Fast path: the fully-fused Pallas iLQR kernel (ops/pallas/ilqr.py)
     # covers the production shape — QuadCost + box bounds + entries-fusable
-    # nonlinear dynamics + zero-control start — running the WHOLE solve in
-    # one launch. Everything else uses the general XLA orchestration below.
+    # nonlinear dynamics, cold or warm started (u_init threads into the
+    # kernel's init rollout) — running the WHOLE solve in one launch.
+    # Everything else uses the general XLA orchestration below.
     # ------------------------------------------------------------------
     from .ops.lqr_step import _resolve_use_pallas
 

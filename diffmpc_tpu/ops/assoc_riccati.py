@@ -94,10 +94,12 @@ def _combine(e_i, e_j):
     return A, b, C, eta, J
 
 
-def _build_elements(C, c, F, f, n, *, reg):
+def _build_elements(C, c, F, f, n, *, reg, zero_last=True):
     """Per-step conditional-value-function elements (module docstring): the
     embarrassingly-parallel part, shared by the single-chip associative scan
-    and the time-sharded deployment."""
+    and the time-sharded deployment. ``zero_last=False`` skips the
+    terminal-step zeroing for callers that apply it conditionally (the
+    time-sharded path, where only the globally-last chunk terminates)."""
     T, B = C.shape[0], C.shape[1]
     dtype = C.dtype
     Qxx = C[..., :n, :n]
@@ -120,11 +122,12 @@ def _build_elements(C, c, F, f, n, *, reg):
     J_el = symmetrize(Qxx - bmm(Qxu, iQuu_Qux))
     eta_el = -(qx - bmv(Qxu, iQuu_qu))
 
-    # last step: stage cost only, no outgoing transition
-    zero_nn = jnp.zeros((B, n, n), dtype)
-    A_el = A_el.at[T - 1].set(zero_nn)
-    b_el = b_el.at[T - 1].set(jnp.zeros((B, n), dtype))
-    C_el = C_el.at[T - 1].set(zero_nn)
+    if zero_last:
+        # last step: stage cost only, no outgoing transition
+        zero_nn = jnp.zeros((B, n, n), dtype)
+        A_el = A_el.at[T - 1].set(zero_nn)
+        b_el = b_el.at[T - 1].set(jnp.zeros((B, n), dtype))
+        C_el = C_el.at[T - 1].set(zero_nn)
     return (A_el, b_el, C_el, eta_el, J_el)
 
 
@@ -273,30 +276,17 @@ def riccati_backward_time_sharded(
 
     def _build_elements_local(C_l, c_l, F_l, f_l):
         # the global T-1 zeroing of (A, b, C) in _build_elements must only
-        # apply on the LAST chunk; rebuild it index-aware here
-        elems = _build_elements(C_l, c_l, F_l, f_l, n, reg=reg)
-        A_el, b_el, C_el, eta_el, J_el = elems
-        # _build_elements zeroed the local last slice unconditionally; undo
-        # it on every chunk but the global last one
+        # apply on the LAST chunk: build without it, zero conditionally on
+        # the device index (one code path for the elimination formulas)
+        A_el, b_el, C_el, eta_el, J_el = _build_elements(
+            C_l, c_l, F_l, f_l, n, reg=reg, zero_last=False
+        )
         is_last = jax.lax.axis_index(time_axis) == D - 1
-        T_l = C_l.shape[0]
-        Qxx = C_l[..., :n, :n]
-        Qxu = C_l[..., :n, n:]
-        Quu = C_l[..., n:, n:]
-        qu = c_l[..., n:]
-        Fx = F_l[..., :, :n]
-        Fu = F_l[..., :, n:]
-        chol_uu = cholesky_small(Quu[-1], reg)
-        iQuu_Qux = cho_solve_small(chol_uu, btrans(Qxu[-1]))
-        iQuu_qu = cho_solve_small(chol_uu, qu[-1][..., None])[..., 0]
-        iQuu_FuT = cho_solve_small(chol_uu, btrans(Fu[-1]))
-        A_last = Fx[-1] - bmm(Fu[-1], iQuu_Qux)
-        b_last = f_l[-1] - bmv(Fu[-1], iQuu_qu)
-        C_last = symmetrize(bmm(Fu[-1], iQuu_FuT))
-        sel = lambda z, nz: jnp.where(is_last, z, nz)
-        A_el = A_el.at[T_l - 1].set(sel(A_el[T_l - 1], A_last))
-        b_el = b_el.at[T_l - 1].set(sel(b_el[T_l - 1], b_last))
-        C_el = C_el.at[T_l - 1].set(sel(C_el[T_l - 1], C_last))
+        T_l = A_el.shape[0]
+        sel = lambda x: jnp.where(is_last, jnp.zeros_like(x), x)
+        A_el = A_el.at[T_l - 1].set(sel(A_el[T_l - 1]))
+        b_el = b_el.at[T_l - 1].set(sel(b_el[T_l - 1]))
+        C_el = C_el.at[T_l - 1].set(sel(C_el[T_l - 1]))
         return (A_el, b_el, C_el, eta_el, J_el)
 
     shard = jax.shard_map(

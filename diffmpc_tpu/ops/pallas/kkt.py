@@ -55,6 +55,101 @@ def kkt_fits_vmem(T: int, n: int, m: int) -> bool:
     return kkt_vmem_bytes(T, n, m) <= VMEM_BUDGET_BYTES
 
 
+# ---------------------------------------------------------------------------
+# Shared per-step sweep math, parameterized by entry accessors so the
+# VMEM-resident kernel (reads `ref[0, t, ...]`) and the HBM-streaming twin
+# (reads `buf[slot, ...]`, kkt_stream.py) use ONE copy of every formula.
+# Each accessor takes the trailing entry indices, e.g. ``C(a, b)``, ``r(a)``.
+# ---------------------------------------------------------------------------
+
+
+def _aux_ric_step(n, m, reg, C, F, r, tight, Vv):
+    """One backward step of the auxiliary Riccati (tight dims frozen,
+    linear term = r): returns ``(K, kt, new_Vv)`` with ``Vv`` the flattened
+    ``(V, v)`` carry."""
+    nm = n + m
+    V = [[Vv[a * n + b] for b in range(n)] for a in range(n)]
+    v = [Vv[n * n + a] for a in range(n)]
+    Ft = [[F(a, b) for b in range(nm)] for a in range(n)]
+    rt = [r(a) for a in range(nm)]
+
+    W = [
+        [sum(V[k][l] * Ft[l][j] for l in range(n)) for j in range(nm)]
+        for k in range(n)
+    ]
+    Q = [[None] * nm for _ in range(nm)]
+    for a in range(nm):
+        for b in range(a, nm):
+            val = C(a, b) + sum(Ft[k][a] * W[k][b] for k in range(n))
+            Q[a][b] = val
+            if b != a:
+                Q[b][a] = val
+    q = [rt[a] + sum(Ft[k][a] * v[k] for k in range(n)) for a in range(nm)]
+
+    Quu = [[Q[n + a][n + b] for b in range(m)] for a in range(m)]
+    Qux = [[Q[n + a][b] for b in range(n)] for a in range(m)]
+    qu = [q[n + a] for a in range(m)]
+    frozen = [tight(a) for a in range(m)]
+    rhs_cols = [[Qux[a][b] for a in range(m)] for b in range(n)] + [qu]
+    sols = _masked_chol_solve(Quu, rhs_cols, frozen, m, reg)
+    K = [[-sols[b][a] for b in range(n)] for a in range(m)]
+    kt = [-sols[n][a] for a in range(m)]
+
+    QuuK = [
+        [sum(Quu[a][r2] * K[r2][j] for r2 in range(m)) for j in range(n)]
+        for a in range(m)
+    ]
+    Quuk = [sum(Quu[a][r2] * kt[r2] for r2 in range(m)) for a in range(m)]
+    Vn = [[None] * n for _ in range(n)]
+    for a in range(n):
+        for b in range(a, n):
+            qxuK_ab = sum(Q[a][n + r2] * K[r2][b] for r2 in range(m))
+            qxuK_ba = sum(Q[b][n + r2] * K[r2][a] for r2 in range(m))
+            kQk = sum(K[r2][a] * QuuK[r2][b] for r2 in range(m))
+            val = Q[a][b] + qxuK_ab + qxuK_ba + kQk
+            Vn[a][b] = val
+            if b != a:
+                Vn[b][a] = val
+    vn = [
+        q[a]
+        + sum(Q[a][n + r2] * kt[r2] for r2 in range(m))
+        + sum(K[r2][a] * (qu[r2] + Quuk[r2]) for r2 in range(m))
+        for a in range(n)
+    ]
+    new_Vv = tuple(Vn[a][b] for a in range(n) for b in range(n)) + tuple(vn)
+    return K, kt, new_Vv
+
+
+def _diff_roll_step(n, m, K, k, F, px):
+    """One forward step of the zero-residual differential rollout: returns
+    ``(p, nxt)`` — the full differential state-control at this step and the
+    next state carry."""
+    nm = n + m
+    px = list(px)
+    pu = [k(a) + sum(K(a, j) * px[j] for j in range(n)) for a in range(m)]
+    p = px + pu
+    nxt = [sum(F(i, j) * p[j] for j in range(nm)) for i in range(n)]
+    return p, nxt
+
+
+def _mult_step(n, m, C, c_lin, F, r_lin, tau, p, lam_next, mu_next):
+    """One backward step of both multiplier recursions
+    (``lam_t = -(C tau + c)_x + Fx' lam_{t+1}``, same for ``mu`` with
+    ``(p, r)``): returns ``(lam, mu)``."""
+    nm = n + m
+    lam = [
+        -(sum(C(a, b) * tau[b] for b in range(nm)) + c_lin(a))
+        + sum(F(k2, a) * lam_next[k2] for k2 in range(n))
+        for a in range(n)
+    ]
+    mu = [
+        -(sum(C(a, b) * p[b] for b in range(nm)) + r_lin(a))
+        + sum(F(k2, a) * mu_next[k2] for k2 in range(n))
+        for a in range(n)
+    ]
+    return lam, mu
+
+
 def _make_kernel(T, n, m, reg):
     nm = n + m
 
@@ -68,73 +163,31 @@ def _make_kernel(T, n, m, reg):
         # ---- 1. auxiliary Riccati, tight dims frozen (linear term = r) ----
         def ric_body(s, Vv):
             t = T - 1 - s
-            V = [[Vv[a * n + b] for b in range(n)] for a in range(n)]
-            v = [Vv[n * n + a] for a in range(n)]
-            Ft = [[F_ref[0, t, a, b] for b in range(nm)] for a in range(n)]
-            rt = [r_ref[0, t, a] for a in range(nm)]
-
-            W = [
-                [sum(V[k][l] * Ft[l][j] for l in range(n)) for j in range(nm)]
-                for k in range(n)
-            ]
-            Q = [[None] * nm for _ in range(nm)]
-            for a in range(nm):
-                for b in range(a, nm):
-                    val = C_ref[0, t, a, b] + sum(
-                        Ft[k][a] * W[k][b] for k in range(n)
-                    )
-                    Q[a][b] = val
-                    if b != a:
-                        Q[b][a] = val
-            q = [rt[a] + sum(Ft[k][a] * v[k] for k in range(n)) for a in range(nm)]
-
-            Quu = [[Q[n + a][n + b] for b in range(m)] for a in range(m)]
-            Qux = [[Q[n + a][b] for b in range(n)] for a in range(m)]
-            qu = [q[n + a] for a in range(m)]
-            frozen = [tight_ref[0, t, a] for a in range(m)]
-            rhs_cols = [[Qux[a][b] for a in range(m)] for b in range(n)] + [qu]
-            sols = _masked_chol_solve(Quu, rhs_cols, frozen, m, reg)
-            K = [[-sols[b][a] for b in range(n)] for a in range(m)]
-            kt = [-sols[n][a] for a in range(m)]
-
+            K, kt, new_Vv = _aux_ric_step(
+                n, m, reg,
+                lambda a, b: C_ref[0, t, a, b],
+                lambda a, b: F_ref[0, t, a, b],
+                lambda a: r_ref[0, t, a],
+                lambda a: tight_ref[0, t, a],
+                Vv,
+            )
             for a in range(m):
                 for b in range(n):
                     K_s[t, a, b] = K[a][b]
                 k_s[t, a] = kt[a]
-
-            QuuK = [
-                [sum(Quu[a][r2] * K[r2][j] for r2 in range(m)) for j in range(n)]
-                for a in range(m)
-            ]
-            Quuk = [sum(Quu[a][r2] * kt[r2] for r2 in range(m)) for a in range(m)]
-            Vn = [[None] * n for _ in range(n)]
-            for a in range(n):
-                for b in range(a, n):
-                    qxuK_ab = sum(Q[a][n + r2] * K[r2][b] for r2 in range(m))
-                    qxuK_ba = sum(Q[b][n + r2] * K[r2][a] for r2 in range(m))
-                    kQk = sum(K[r2][a] * QuuK[r2][b] for r2 in range(m))
-                    val = Q[a][b] + qxuK_ab + qxuK_ba + kQk
-                    Vn[a][b] = val
-                    if b != a:
-                        Vn[b][a] = val
-            vn = [
-                q[a]
-                + sum(Q[a][n + r2] * kt[r2] for r2 in range(m))
-                + sum(K[r2][a] * (qu[r2] + Quuk[r2]) for r2 in range(m))
-                for a in range(n)
-            ]
-            return tuple(Vn[a][b] for a in range(n) for b in range(n)) + tuple(vn)
+            return new_Vv
 
         jax.lax.fori_loop(0, T, ric_body, tuple(zero for _ in range(n * n + n)))
 
         # ---- 2. differential rollout p (f = 0, x0 = 0) + dC, dc ----
         def roll_body(t, px):
-            px = list(px)
-            pu = [
-                k_s[t, a] + sum(K_s[t, a, j] * px[j] for j in range(n))
-                for a in range(m)
-            ]
-            p = px + pu
+            p, nxt = _diff_roll_step(
+                n, m,
+                lambda a, b: K_s[t, a, b],
+                lambda a: k_s[t, a],
+                lambda a, b: F_ref[0, t, a, b],
+                px,
+            )
             tau = [tau_ref[0, t, a] for a in range(nm)]
             for a in range(nm):
                 p_s[t, a] = p[a]
@@ -144,9 +197,6 @@ def _make_kernel(T, n, m, reg):
                     dC_o[0, t, a, b] = val
                     if b != a:
                         dC_o[0, t, b, a] = val
-            nxt = [
-                sum(F_ref[0, t, i, j] * p[j] for j in range(nm)) for i in range(n)
-            ]
             return tuple(nxt)
 
         jax.lax.fori_loop(0, T, roll_body, tuple(zero for _ in range(n)))
@@ -162,16 +212,14 @@ def _make_kernel(T, n, m, reg):
                 df_o[0, t, i] = -mu_next[i]
                 for j in range(nm):
                     dF_o[0, t, i, j] = -(mu_next[i] * tau[j] + lam_next[i] * p[j])
-            lam = [
-                -(sum(C_ref[0, t, a, b] * tau[b] for b in range(nm)) + c_ref[0, t, a])
-                + sum(F_ref[0, t, k2, a] * lam_next[k2] for k2 in range(n))
-                for a in range(n)
-            ]
-            mu = [
-                -(sum(C_ref[0, t, a, b] * p[b] for b in range(nm)) + r_ref[0, t, a])
-                + sum(F_ref[0, t, k2, a] * mu_next[k2] for k2 in range(n))
-                for a in range(n)
-            ]
+            lam, mu = _mult_step(
+                n, m,
+                lambda a, b: C_ref[0, t, a, b],
+                lambda a: c_ref[0, t, a],
+                lambda a, b: F_ref[0, t, a, b],
+                lambda a: r_ref[0, t, a],
+                tau, p, lam_next, mu_next,
+            )
             return tuple(lam) + tuple(mu)
 
         final = jax.lax.fori_loop(

@@ -24,12 +24,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .kkt import _aux_ric_step, _diff_roll_step, _mult_step
 from .riccati import (
     LANE,
     SUBLANE,
     TILE_B,
     _from_kernel_layout,
-    _masked_chol_solve,
     _to_kernel_layout,
     out_struct,
 )
@@ -99,63 +99,20 @@ def _make_kernel(T, n, m, reg):
             def _():
                 start_in(s1, jax.lax.rem(i + 1, 2), t - 1)
 
-            V = [[Vv[a * n + b] for b in range(n)] for a in range(n)]
-            v = [Vv[n * n + a] for a in range(n)]
-            Ft = [[bufs[_F][slot, a, b] for b in range(nm)] for a in range(n)]
-            rt = [bufs[_r][slot, a] for a in range(nm)]
-
-            W = [
-                [sum(V[kk][l] * Ft[l][j] for l in range(n)) for j in range(nm)]
-                for kk in range(n)
-            ]
-            Q = [[None] * nm for _ in range(nm)]
-            for a in range(nm):
-                for b in range(a, nm):
-                    val = bufs[_C][slot, a, b] + sum(
-                        Ft[kk][a] * W[kk][b] for kk in range(n)
-                    )
-                    Q[a][b] = val
-                    if b != a:
-                        Q[b][a] = val
-            q = [rt[a] + sum(Ft[kk][a] * v[kk] for kk in range(n)) for a in range(nm)]
-
-            Quu = [[Q[n + a][n + b] for b in range(m)] for a in range(m)]
-            Qux = [[Q[n + a][b] for b in range(n)] for a in range(m)]
-            qu = [q[n + a] for a in range(m)]
-            frozen = [bufs[_tight][slot, a] for a in range(m)]
-            rhs_cols = [[Qux[a][b] for a in range(m)] for b in range(n)] + [qu]
-            sols = _masked_chol_solve(Quu, rhs_cols, frozen, m, reg)
-            K = [[-sols[b][a] for b in range(n)] for a in range(m)]
-            kt = [-sols[n][a] for a in range(m)]
-
+            K, kt, new_Vv = _aux_ric_step(
+                n, m, reg,
+                lambda a, b: bufs[_C][slot, a, b],
+                lambda a, b: bufs[_F][slot, a, b],
+                lambda a: bufs[_r][slot, a],
+                lambda a: bufs[_tight][slot, a],
+                Vv,
+            )
             for a in range(m):
                 for b in range(n):
                     stage[_oK][slot, a, b] = K[a][b]
                 stage[_ok][slot, a] = kt[a]
             flush_out((_oK, _ok), slot, t)
-
-            QuuK = [
-                [sum(Quu[a][r2] * K[r2][j] for r2 in range(m)) for j in range(n)]
-                for a in range(m)
-            ]
-            Quuk = [sum(Quu[a][r2] * kt[r2] for r2 in range(m)) for a in range(m)]
-            Vn = [[None] * n for _ in range(n)]
-            for a in range(n):
-                for b in range(a, n):
-                    qxuK_ab = sum(Q[a][n + r2] * K[r2][b] for r2 in range(m))
-                    qxuK_ba = sum(Q[b][n + r2] * K[r2][a] for r2 in range(m))
-                    kQk = sum(K[r2][a] * QuuK[r2][b] for r2 in range(m))
-                    val = Q[a][b] + qxuK_ab + qxuK_ba + kQk
-                    Vn[a][b] = val
-                    if b != a:
-                        Vn[b][a] = val
-            vn = [
-                q[a]
-                + sum(Q[a][n + r2] * kt[r2] for r2 in range(m))
-                + sum(K[r2][a] * (qu[r2] + Quuk[r2]) for r2 in range(m))
-                for a in range(n)
-            ]
-            return tuple(Vn[a][b] for a in range(n) for b in range(n)) + tuple(vn)
+            return new_Vv
 
         jax.lax.fori_loop(0, T, ric_body, tuple(zero for _ in range(n * n + n)))
 

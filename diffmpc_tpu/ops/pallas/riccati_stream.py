@@ -41,16 +41,19 @@ from .riccati import (
 def _make_kernel(T, n, m, mode, reg, pnqp_iter):
     nm = n + m
     n_extra = 2 if mode == "box" else (1 if mode == "mask" else 0)
+    n_out = 4 if mode == "box" else 3  # box adds the n_qp stats stream
 
     def kernel(*refs):
         # inputs (HBM/ANY): C, c, F, f, [lo, hi | mask]
         hbm_in = refs[: 4 + n_extra]
-        K_hbm, k_hbm, free_hbm = refs[4 + n_extra : 7 + n_extra]
-        scr = refs[7 + n_extra :]
+        out_hbm = refs[4 + n_extra : 4 + n_extra + n_out]
+        K_hbm, k_hbm, free_hbm = out_hbm[:3]
+        scr = refs[4 + n_extra + n_out :]
         bufs = scr[: 4 + n_extra]  # double-buffered input slices
-        K_buf, k_buf, free_buf = scr[4 + n_extra : 7 + n_extra]
-        sem_in = scr[7 + n_extra]
-        sem_out = scr[8 + n_extra]
+        out_bufs = scr[4 + n_extra : 4 + n_extra + n_out]
+        K_buf, k_buf, free_buf = out_bufs[:3]
+        sem_in = scr[4 + n_extra + n_out]
+        sem_out = scr[5 + n_extra + n_out]
 
         g = pl.program_id(0)
 
@@ -112,7 +115,8 @@ def _make_kernel(T, n, m, mode, reg, pnqp_iter):
             if mode == "box":
                 lo = [bufs[4][slot, a] for a in range(m)]
                 hi = [bufs[5][slot, a] for a in range(m)]
-                kt, frozen, _n_qp = _pnqp_entries(Quu, qu, lo, hi, m, pnqp_iter, reg)
+                kt, frozen, n_qp = _pnqp_entries(Quu, qu, lo, hi, m, pnqp_iter, reg)
+                out_bufs[3][slot, 0] = n_qp
                 rhs_cols = [[Qux[a][b] for a in range(m)] for b in range(n)]
                 K_cols = _masked_chol_solve(Quu, rhs_cols, frozen, m, reg)
                 K = [[-K_cols[b][a] for b in range(n)] for a in range(m)]
@@ -164,11 +168,10 @@ def _make_kernel(T, n, m, mode, reg, pnqp_iter):
                 k_buf[slot, a] = kt[a]
                 free_buf[slot, a] = 1.0 - frozen[a]
             outs = [
-                pltpu.make_async_copy(K_buf.at[slot], K_hbm.at[g, t], sem_out.at[slot, 0]),
-                pltpu.make_async_copy(k_buf.at[slot], k_hbm.at[g, t], sem_out.at[slot, 1]),
                 pltpu.make_async_copy(
-                    free_buf.at[slot], free_hbm.at[g, t], sem_out.at[slot, 2]
-                ),
+                    out_bufs[i].at[slot], out_hbm[i].at[g, t], sem_out.at[slot, i]
+                )
+                for i in range(n_out)
             ]
             for d in outs:
                 d.start()
@@ -255,29 +258,42 @@ def riccati_backward_pallas_stream(
         out_struct((G, T, m, SUBLANE, LANE), ins),
         out_struct((G, T, m, SUBLANE, LANE), ins),
     ]
-    n_in = len(ins)
-    scratch = [
-        pltpu.VMEM((2,) + x.shape[2:], jnp.float32) for x in ins
-    ] + [
+    out_stage = [
         pltpu.VMEM((2, m, n, SUBLANE, LANE), jnp.float32),  # K stage
         pltpu.VMEM((2, m, SUBLANE, LANE), jnp.float32),  # k stage
         pltpu.VMEM((2, m, SUBLANE, LANE), jnp.float32),  # free stage
-        pltpu.SemaphoreType.DMA((2, n_in)),
-        pltpu.SemaphoreType.DMA((2, 3)),
     ]
+    if mode == "box":
+        out_shapes.append(out_struct((G, T, 1, SUBLANE, LANE), ins))  # n_qp
+        out_stage.append(pltpu.VMEM((2, 1, SUBLANE, LANE), jnp.float32))
+    n_in = len(ins)
+    n_out = len(out_shapes)
+    scratch = (
+        [pltpu.VMEM((2,) + x.shape[2:], jnp.float32) for x in ins]
+        + out_stage
+        + [
+            pltpu.SemaphoreType.DMA((2, n_in)),
+            pltpu.SemaphoreType.DMA((2, n_out)),
+        ]
+    )
     kernel = _make_kernel(T, n, m, mode, reg, pnqp_iter)
-    K_l, k_l, free_l = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=(G,),
         in_specs=[any_spec] * n_in,
-        out_specs=[any_spec] * 3,
+        out_specs=[any_spec] * n_out,
         out_shape=out_shapes,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(*ins)
+    K_l, k_l, free_l = outs[:3]
 
     K = _from_kernel_layout(K_l)[:, :orig_B].astype(dtype)
     k = _from_kernel_layout(k_l)[:, :orig_B].astype(dtype)
     free = _from_kernel_layout(free_l)[:, :orig_B] > 0.5
-    return RiccatiResult(K, k, free, jnp.zeros((T, orig_B), jnp.int32))
+    if mode == "box":
+        n_qp = _from_kernel_layout(outs[3])[:, :orig_B, 0].astype(jnp.int32)
+    else:
+        n_qp = jnp.zeros((T, orig_B), jnp.int32)
+    return RiccatiResult(K, k, free, n_qp)

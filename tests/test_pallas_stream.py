@@ -39,6 +39,11 @@ def test_stream_box_mode_matches_xla():
     )
     np.testing.assert_allclose(np.asarray(out.k), np.asarray(ref.k), atol=5e-4)
     np.testing.assert_allclose(np.asarray(out.K), np.asarray(ref.K), atol=5e-4)
+    # truthful stats on the streaming path too (was hard zeros before):
+    # real per-step pnqp iteration counts, matching the XLA solver's
+    n_qp = np.asarray(out.n_qp_iter)
+    assert (n_qp >= 1).all()
+    np.testing.assert_array_equal(n_qp, np.asarray(ref.n_qp_iter))
 
 
 def test_stream_mask_mode_matches_xla():
