@@ -136,16 +136,27 @@ def main():
 
         jax.block_until_ready(grads_many(dx.params, xs_stack))
 
-        def _t_grad():
+        # Forward and solve+grad are timed in STRICT ALTERNATION with
+        # per-variant minima: on the time-shared chip, two metrics measured
+        # in separate loops minutes apart see different contention and the
+        # apparent "backward cost" is dominated by that drift (interleaved
+        # A/Bs bound the true backward overhead at ~5%, scripts/
+        # ab_grad_decomp.py; separate loops have shown gaps up to 30%).
+        t_f = t_g = float("inf")
+        for _ in range(5):
             t0 = time.perf_counter()
             for _ in range(3):
-                r = grads_many(dx.params, xs_stack)
-            jax.block_until_ready(r)
-            return time.perf_counter() - t0
-
-        details["solve_plus_grad_per_s"] = round(
-            3 * n_sets * B / best_of(3, _t_grad), 1
-        )
+                rf = solve_many(xs_stack)
+            jax.block_until_ready(rf)
+            t_f = min(t_f, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            for _ in range(3):
+                rg = grads_many(dx.params, xs_stack)
+            jax.block_until_ready(rg)
+            t_g = min(t_g, time.perf_counter() - t0)
+        details["solve_plus_grad_per_s"] = round(3 * n_sets * B / t_g, 1)
+        details["fwd_interleaved_per_s"] = round(3 * n_sets * B / t_f, 1)
+        details["grad_vs_fwd_frac"] = round(t_f / t_g, 4)
     except Exception as e:  # pragma: no cover - secondary metrics best-effort
         details["secondary_error"] = repr(e)
 
