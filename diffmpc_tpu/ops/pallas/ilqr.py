@@ -97,10 +97,17 @@ def _make_kernel(
         def dyn(x, u):
             return entries_step(params, x, u)
 
-        def dyn_jvp(x, u, tx, tu):
-            """(A@tx + B@tu) without materializing A, B."""
-            _, out = jax.jvp(lambda xx, uu: dyn(xx, uu), (x, u), (tx, tu))
-            return out
+        def dyn_lin(x, u):
+            """Linearize the step once: returns the tangent map
+            ``(tx, tu) -> A@tx + B@tu``. ``jax.linearize`` (vs per-column
+            ``jax.jvp``) shares ONE primal trace across all nm Jacobian
+            columns. Runtime is identical (measured bitwise-same and
+            perf-neutral on TPU — XLA CSEs the duplicated primals that
+            per-probe jvp emits; scripts/ab_linearize.py), but the kernel
+            trace halves (9.8k -> 4.8k eqns for the NN-dynamics case),
+            which matters for Mosaic compile times on the tunneled chip."""
+            _, lin = jax.linearize(lambda xx, uu: dyn(xx, uu), x, u)
+            return lin
 
         def stage_cost(t, x, u):
             tau = x + u
@@ -162,14 +169,16 @@ def _make_kernel(
                 xh = [xh_s[t, a] for a in range(n)]
                 uh = [uh_s[t, a] for a in range(m)]
 
-                # Jacobian columns via JVP probes: column j of [A B]
+                # Jacobian columns via tangent probes of ONE shared
+                # linearization: column j of [A B]
+                lin = dyn_lin(xh, uh)
                 Fcols = []
                 for j in range(n):
                     seed = [one if a == j else zero for a in range(n)]
-                    Fcols.append(dyn_jvp(xh, uh, seed, [zero] * m))
+                    Fcols.append(lin(seed, [zero] * m))
                 for j in range(m):
                     seed = [one if a == j else zero for a in range(m)]
-                    Fcols.append(dyn_jvp(xh, uh, [zero] * n, seed))
+                    Fcols.append(lin([zero] * n, seed))
                 # Ft[k][j] = d x_next[k] / d tau[j]
                 Ft = [[Fcols[j][k] for j in range(nm)] for k in range(n)]
 
