@@ -67,7 +67,9 @@ def main():
         jax.block_until_ready(out)
         return time.perf_counter() - t0
 
-    solves_per_s = n_timed * n_sets * B / best_of(5, _t_primary)
+    # Each loop is ~50 ms; 12 minima samples make the primary number robust
+    # to multi-second contention bursts on the time-shared chip.
+    solves_per_s = n_timed * n_sets * B / best_of(12, _t_primary)
     objs, conv = objs[0], conv[0]
 
     # The driver-required JSON line goes out FIRST: the secondary metrics
