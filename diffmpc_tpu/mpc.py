@@ -95,9 +95,11 @@ def _expand_bound(b, T: int, B: int, m: int, dtype):
     if b.ndim == 0:
         b = jnp.full((T, B, m), b, dtype)
     elif b.ndim == 1:
-        if b.shape != (m,):
+        # (1,) broadcasts unambiguously like a scalar for any n_ctrl.
+        if b.shape not in ((m,), (1,)):
             raise ValueError(
-                f"1-D control bound must be (n_ctrl={m},); got {b.shape}"
+                f"1-D control bound must be (n_ctrl={m},) or (1,); "
+                f"got {b.shape}"
             )
         b = jnp.broadcast_to(b, (T, B, m))
     elif b.ndim == 2:

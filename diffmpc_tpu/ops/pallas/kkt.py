@@ -150,6 +150,29 @@ def _mult_step(n, m, C, c_lin, F, r_lin, tau, p, lam_next, mu_next):
     return lam, mu
 
 
+def _cost_grad_entries(nm, p, tau):
+    """Cost-gradient entries at one step: ``dC_t = 0.5 (p tau' + tau p')``
+    as a symmetric entry grid (``dc_t`` is ``p`` itself)."""
+    dC = [[None] * nm for _ in range(nm)]
+    for a in range(nm):
+        for b in range(a, nm):
+            val = 0.5 * (p[a] * tau[b] + tau[a] * p[b])
+            dC[a][b] = val
+            dC[b][a] = val
+    return dC
+
+
+def _dyn_grad_entries(n, nm, lam_next, mu_next, tau, p):
+    """Dynamics-gradient entries at one step:
+    ``dF_t = -(mu_{t+1} tau' + lam_{t+1} p')``, ``df_t = -mu_{t+1}``."""
+    dF = [
+        [-(mu_next[i] * tau[j] + lam_next[i] * p[j]) for j in range(nm)]
+        for i in range(n)
+    ]
+    df = [-mu_next[i] for i in range(n)]
+    return dF, df
+
+
 def _make_kernel(T, n, m, reg):
     nm = n + m
 
@@ -189,14 +212,12 @@ def _make_kernel(T, n, m, reg):
                 px,
             )
             tau = [tau_ref[0, t, a] for a in range(nm)]
+            dC = _cost_grad_entries(nm, p, tau)
             for a in range(nm):
                 p_s[t, a] = p[a]
                 dc_o[0, t, a] = p[a]
-                for b in range(a, nm):
-                    val = 0.5 * (p[a] * tau[b] + tau[a] * p[b])
-                    dC_o[0, t, a, b] = val
-                    if b != a:
-                        dC_o[0, t, b, a] = val
+                for b in range(nm):
+                    dC_o[0, t, a, b] = dC[a][b]
             return tuple(nxt)
 
         jax.lax.fori_loop(0, T, roll_body, tuple(zero for _ in range(n)))
@@ -208,10 +229,11 @@ def _make_kernel(T, n, m, reg):
             mu_next = [carry[n + a] for a in range(n)]  # mu_{t+1}
             tau = [tau_ref[0, t, a] for a in range(nm)]
             p = [p_s[t, a] for a in range(nm)]
+            dF, df = _dyn_grad_entries(n, nm, lam_next, mu_next, tau, p)
             for i in range(n):
-                df_o[0, t, i] = -mu_next[i]
+                df_o[0, t, i] = df[i]
                 for j in range(nm):
-                    dF_o[0, t, i, j] = -(mu_next[i] * tau[j] + lam_next[i] * p[j])
+                    dF_o[0, t, i, j] = dF[i][j]
             lam, mu = _mult_step(
                 n, m,
                 lambda a, b: C_ref[0, t, a, b],

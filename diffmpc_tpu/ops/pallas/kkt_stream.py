@@ -24,7 +24,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .kkt import _aux_ric_step, _diff_roll_step, _mult_step
+from .kkt import (
+    _aux_ric_step,
+    _cost_grad_entries,
+    _diff_roll_step,
+    _dyn_grad_entries,
+    _mult_step,
+)
 from .riccati import (
     LANE,
     SUBLANE,
@@ -128,27 +134,21 @@ def _make_kernel(T, n, m, reg):
             def _():
                 start_in(s2, jax.lax.rem(t + 1, 2), t + 1)
 
-            px = list(px)
-            pu = [
-                bufs[_k][slot, a]
-                + sum(bufs[_K][slot, a, j] * px[j] for j in range(n))
-                for a in range(m)
-            ]
-            p = px + pu
+            p, nxt = _diff_roll_step(
+                n, m,
+                lambda a, b: bufs[_K][slot, a, b],
+                lambda a: bufs[_k][slot, a],
+                lambda a, b: bufs[_F][slot, a, b],
+                px,
+            )
             tau = [bufs[_tau][slot, a] for a in range(nm)]
+            dC = _cost_grad_entries(nm, p, tau)
             for a in range(nm):
                 stage[_op][slot, a] = p[a]
                 stage[_dc][slot, a] = p[a]
-                for b in range(a, nm):
-                    val = 0.5 * (p[a] * tau[b] + tau[a] * p[b])
-                    stage[_dC][slot, a, b] = val
-                    if b != a:
-                        stage[_dC][slot, b, a] = val
+                for b in range(nm):
+                    stage[_dC][slot, a, b] = dC[a][b]
             flush_out((_dC, _dc, _op), slot, t)
-            nxt = [
-                sum(bufs[_F][slot, i2, j] * p[j] for j in range(nm))
-                for i2 in range(n)
-            ]
             return tuple(nxt)
 
         jax.lax.fori_loop(0, T, roll_body, tuple(zero for _ in range(n)))
@@ -170,29 +170,20 @@ def _make_kernel(T, n, m, reg):
             mu_next = [carry[n + a] for a in range(n)]  # mu_{t+1}
             tau = [bufs[_tau][slot, a] for a in range(nm)]
             p = [bufs[_p][slot, a] for a in range(nm)]
+            dF, df = _dyn_grad_entries(n, nm, lam_next, mu_next, tau, p)
             for i2 in range(n):
-                stage[_df][slot, i2] = -mu_next[i2]
+                stage[_df][slot, i2] = df[i2]
                 for j in range(nm):
-                    stage[_dF][slot, i2, j] = -(
-                        mu_next[i2] * tau[j] + lam_next[i2] * p[j]
-                    )
+                    stage[_dF][slot, i2, j] = dF[i2][j]
             flush_out((_dF, _df), slot, t)
-            lam = [
-                -(
-                    sum(bufs[_C][slot, a, b] * tau[b] for b in range(nm))
-                    + bufs[_c][slot, a]
-                )
-                + sum(bufs[_F][slot, k2, a] * lam_next[k2] for k2 in range(n))
-                for a in range(n)
-            ]
-            mu = [
-                -(
-                    sum(bufs[_C][slot, a, b] * p[b] for b in range(nm))
-                    + bufs[_r][slot, a]
-                )
-                + sum(bufs[_F][slot, k2, a] * mu_next[k2] for k2 in range(n))
-                for a in range(n)
-            ]
+            lam, mu = _mult_step(
+                n, m,
+                lambda a, b: bufs[_C][slot, a, b],
+                lambda a: bufs[_c][slot, a],
+                lambda a, b: bufs[_F][slot, a, b],
+                lambda a: bufs[_r][slot, a],
+                tau, p, lam_next, mu_next,
+            )
             return tuple(lam) + tuple(mu)
 
         final = jax.lax.fori_loop(

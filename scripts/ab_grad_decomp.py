@@ -6,17 +6,20 @@ per-variant minimum. Each variant runs R on-device repetitions under one
 dispatch (lax.map) so the ~2 ms dispatch RTT amortizes away.
 
 Decomposition:
-  fwd        forward mega-kernel solve only
-  fwd+lin    + re-linearization at the solution + trajectory cost (the
-             differentiable fixed-point attach WITHOUT the backward)
+  fwd        forward mega-kernel solve only (config.backprop=False skips
+             the differentiable fixed-point attach entirely)
+  fwd+lin    + re-linearization at the solution (the fixed-point attach's
+             forward work, WITHOUT the backward)
   grad       full solve + analytic KKT backward (jax.grad of a us-loss)
   kkt        kkt_backward_fused on fixed residuals (transforms + kernel)
   layouts    the kernel-layout transforms alone (no kernel)
 
+fwd+lin - fwd   ≈ the attach's forward cost (re-linearization)
 grad - fwd+lin  ≈ custom_vjp backward + cotangent routing
 kkt - layouts   ≈ fused kernel compute alone
 """
 
+import dataclasses
 import time
 
 import jax
@@ -41,8 +44,11 @@ def main():
     x = _x_init(B, seed=0)
     xs_stack = jnp.stack([_x_init(B, seed=s) for s in range(R)])
 
-    def solve(xi):
-        sol = mpc_solve(config, xi, cost, dx, u_lower=-2.0, u_upper=2.0)
+    config_nb = dataclasses.replace(config, backprop=False)
+
+    def solve_fwd(xi):
+        # forward only: backprop=False skips the fixed-point attach
+        sol = mpc_solve(config_nb, xi, cost, dx, u_lower=-2.0, u_upper=2.0)
         return sol.us, sol.objs
 
     def solve_lin(xi):
@@ -57,6 +63,7 @@ def main():
         return jnp.mean(sol.us**2)
 
     fns = {}
+    fns["fwd"] = jax.jit(lambda xs: jax.lax.map(solve_fwd, xs))
     fns["fwd+lin"] = jax.jit(lambda xs: jax.lax.map(solve_lin, xs))
     fns["grad"] = jax.jit(
         lambda xs: jax.lax.map(lambda xi: jax.grad(train_loss)(dx.params, xi), xs)
@@ -93,6 +100,7 @@ def main():
     fns["layouts"] = jax.jit(lambda s: jax.lax.map(layouts_one, s))
 
     args = {
+        "fwd": (xs_stack,),
         "fwd+lin": (xs_stack,),
         "grad": (xs_stack,),
         "kkt": (stacked,),
@@ -117,6 +125,10 @@ def main():
         print(f"round {rnd}: " + " ".join(row), flush=True)
     for k, v in best.items():
         print(f"{k:10s} {v*1e3:8.3f} ms", flush=True)
+    print(
+        f"attach forward (fwd+lin - fwd):  {(best['fwd+lin']-best['fwd'])*1e3:.3f} ms",
+        flush=True,
+    )
     print(
         f"backward total (grad - fwd+lin): {(best['grad']-best['fwd+lin'])*1e3:.3f} ms",
         flush=True,

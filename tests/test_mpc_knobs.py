@@ -168,6 +168,13 @@ def test_bound_shape_validation():
         u_lower=jnp.full((T, 1), -2.0), u_upper=jnp.full((T, 1), 2.0),
     )
     assert sol.us.shape == (T, B, 1)
+    # a (1,) bound broadcasts like a scalar for any n_ctrl (pre-validation
+    # behavior; regression caught by self-review round 2)
+    sol1 = mpc_solve(
+        config, x_init, cost, dx,
+        u_lower=jnp.asarray([-2.0]), u_upper=jnp.asarray([2.0]),
+    )
+    np.testing.assert_array_equal(np.asarray(sol1.us), np.asarray(sol.us))
 
 
 def test_nonsymmetric_cost_canonicalized():
