@@ -22,15 +22,61 @@ from ..utils.batch import PRECISION
 
 class Dynamics:
     """Protocol: ``forward(x, u) -> x_next`` (batched over leading dims) and
-    ``grad_input(x, u) -> (A, B)`` with ``A: (..., n, n)``, ``B: (..., n, m)``."""
+    ``grad_input(x, u) -> (A, B)`` with ``A: (..., n, n)``, ``B: (..., n, m)``.
+
+    Per-scenario (domain-randomized) parameters: models whose ``params`` is
+    a single array support an extra leading batch axis — ``(B, P)`` instead
+    of ``(P,)`` — giving every scenario in the solve batch its own physics.
+    The env ``forward``/``grad_input`` implementations broadcast the
+    trailing-``P`` layout, and gradients w.r.t. the batched params flow
+    per-scenario through the analytic KKT backward unchanged (the cotangent
+    of a ``(B,)`` parameter row never crosses scenarios).
+    """
 
     def forward(self, x, u):  # pragma: no cover - interface
         raise NotImplementedError
 
+    @property
+    def param_batch_shape(self) -> tuple:
+        """Leading batch shape of per-scenario ``params`` (``()`` for the
+        usual shared-parameter case, or when params is a pytree)."""
+        p = getattr(self, "params", None)
+        if hasattr(p, "ndim") and hasattr(p, "shape") and p.ndim >= 2:
+            return tuple(p.shape[:-1])
+        return ()
+
+    @property
+    def kernel_fusable(self) -> bool:
+        """Whether ``entries_step`` (if present) may run inside the fused
+        Pallas kernels. Per-scenario params ride them via a VMEM params
+        tile; pytree-params models override with their own criteria."""
+        return True
+
     def grad_input(self, x, u):
         """Default: exact Jacobians via vmapped jacfwd (AUTO_DIFF == ANALYTIC
         under JAX; models override with closed forms when cheaper)."""
-        return autodiff_grad_input(self.forward, x, u)
+        bshape = self.param_batch_shape
+        if not bshape:
+            return autodiff_grad_input(self.forward, x, u)
+        # Per-scenario params: map jacfwd jointly over (params, x, u) on the
+        # scenario axis (a closure over (B, P) params inside a per-sample
+        # vmap would silently broadcast wrong shapes).
+        if x.ndim not in (2, 3):
+            raise ValueError(
+                f"per-scenario params need x of shape (B, n) or (T, B, n); "
+                f"got {x.shape}"
+            )
+
+        def one(p, xx, uu):
+            dxp = self.replace(params=p)
+            return jax.jacfwd(
+                lambda a, b: dxp.forward(a, b), argnums=(0, 1)
+            )(xx, uu)
+
+        f = jax.vmap(one)  # over the scenario axis
+        if x.ndim == 3:
+            f = jax.vmap(f, in_axes=(None, 0, 0))  # over time
+        return f(self.params, x, u)
 
     def __call__(self, x, u):
         return self.forward(x, u)

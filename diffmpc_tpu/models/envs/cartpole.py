@@ -30,11 +30,13 @@ class CartpoleDx(Dynamics):
         return CartpoleDx(params=jnp.array([9.8, 1.0, 0.1, 0.5], dtype))
 
     def forward(self, x, u):
+        # trailing-axis indexing so per-scenario (B, 4) params broadcast
+        # against (..., B) state entries (see Dynamics.param_batch_shape)
         g, m_cart, m_pole, l = (
-            self.params[0],
-            self.params[1],
-            self.params[2],
-            self.params[3],
+            self.params[..., 0],
+            self.params[..., 1],
+            self.params[..., 2],
+            self.params[..., 3],
         )
         total_mass = m_cart + m_pole
         polemass_l = m_pole * l

@@ -42,7 +42,9 @@ class PendulumDx(Dynamics):
         return PendulumDx(params=jnp.array([10.0, 1.0, 1.0], dtype))
 
     def forward(self, x, u):
-        g, m, l = self.params[0], self.params[1], self.params[2]
+        # trailing-axis indexing so per-scenario (B, 3) params broadcast
+        # against (..., B) state entries (see Dynamics.param_batch_shape)
+        g, m, l = self.params[..., 0], self.params[..., 1], self.params[..., 2]
         cos_th, sin_th, thdot = x[..., 0], x[..., 1], x[..., 2]
         uu = u[..., 0]
         if self.clamp_ctrl:
@@ -91,7 +93,7 @@ class PendulumDx(Dynamics):
         Saturations (torque clamp, speed clamp) zero the relevant rows,
         matching autodiff through ``jnp.clip``.
         """
-        g, m, l = self.params[0], self.params[1], self.params[2]
+        g, m, l = self.params[..., 0], self.params[..., 1], self.params[..., 2]
         cos_th, sin_th, thdot = x[..., 0], x[..., 1], x[..., 2]
         uu = u[..., 0]
         dt = self.dt

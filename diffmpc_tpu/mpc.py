@@ -260,6 +260,12 @@ def mpc_solve(
             )
     if (u_lower is None) != (u_upper is None):
         raise ValueError("u_lower and u_upper must be both set or both None")
+    pbs = getattr(dx, "param_batch_shape", ())
+    if pbs and pbs != (B,):
+        raise ValueError(
+            f"per-scenario dynamics params must have leading batch shape "
+            f"({B},) to match x_init; got {pbs}"
+        )
 
     if u_zero_I is not None:
         # The reference's ``u_zero_I`` knob: control dims held at exactly

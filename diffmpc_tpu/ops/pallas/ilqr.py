@@ -71,6 +71,7 @@ def _make_kernel(
     entries_step,
     n_params,
     has_u_init,
+    batched_params=False,
 ):
     nm = n + m
 
@@ -90,7 +91,14 @@ def _make_kernel(
         #           4 last_improvement, 5 last_alpha, 6 n_iters,
         #           7 mean qp iters (last active iteration)
 
-        params = [params_ref[j, 0] for j in range(n_params)] if n_params else None
+        if not n_params:
+            params = None
+        elif batched_params:
+            # per-scenario params: one (S, 128) tile per parameter; the
+            # entries_step arithmetic broadcasts tiles exactly like scalars
+            params = [params_ref[0, j] for j in range(n_params)]
+        else:
+            params = [params_ref[j, 0] for j in range(n_params)]
         zero = jnp.zeros((SUBLANE, LANE), jnp.float32)
         one = jnp.ones((SUBLANE, LANE), jnp.float32)
 
@@ -410,13 +418,38 @@ def ilqr_solve_fused(
     G = B // TILE_B
 
     f32 = lambda x: x.astype(jnp.float32)
-    params_arr = dyn.kernel_params().astype(jnp.float32).reshape(-1, 1)
-    n_params = params_arr.shape[0]
-
-    ins = [params_arr]
-    in_specs = [
-        pl.BlockSpec((n_params, 1), lambda g: (0, 0), memory_space=pltpu.SMEM)
-    ]
+    params_raw = dyn.kernel_params().astype(jnp.float32)
+    batched_params = params_raw.ndim == 2
+    if batched_params:
+        # per-scenario (B, P) params: pad the scenario axis like the other
+        # inputs (row 0 repeated — pad lanes are discarded but must stay
+        # finite for the in-kernel divisions), then stage as (G, P, S, 128)
+        # VMEM tiles, one tile-batch per grid cell.
+        if pad:
+            params_raw = jnp.concatenate(
+                [
+                    params_raw,
+                    jnp.broadcast_to(params_raw[:1], (pad, params_raw.shape[1])),
+                ],
+                axis=0,
+            )
+        n_params = params_raw.shape[1]
+        params_arr = _to_kernel_layout(params_raw[None], G)[:, 0]
+        ins = [params_arr]
+        in_specs = [
+            pl.BlockSpec(
+                (1, n_params, SUBLANE, LANE),
+                lambda g: (g, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ]
+    else:
+        params_arr = params_raw.reshape(-1, 1)
+        n_params = params_arr.shape[0]
+        ins = [params_arr]
+        in_specs = [
+            pl.BlockSpec((n_params, 1), lambda g: (0, 0), memory_space=pltpu.SMEM)
+        ]
 
     def add(x):
         ins.append(x)
@@ -468,6 +501,7 @@ def ilqr_solve_fused(
         T, n, m, lqr_iter, pnqp_iter, reg, decay, max_linesearch_iter,
         delta_u, eps, best_cost_eps, not_improved_lim,
         dyn.entries_step, n_params, u_init is not None,
+        batched_params=batched_params,
     )
     xs_l, us_l, obj_l, conv_l, impr_l, alpha_l, iters_l, qp_l = pl.pallas_call(
         kernel,

@@ -31,7 +31,8 @@ from .riccati import out_struct, LANE, SUBLANE, TILE_B, _from_kernel_layout, _to
 
 
 def _make_kernel(
-    T, n, m, n_alpha, decay, constrained, delta_u, entries_step, n_params
+    T, n, m, n_alpha, decay, constrained, delta_u, entries_step, n_params,
+    batched_params=False,
 ):
     nm = n + m
 
@@ -49,9 +50,13 @@ def _make_kernel(
             i += 2
         xs_ref, us_ref, obj_ref, alpha_ref, impr_ref = refs[i : i + 5]
 
-        params = (
-            [params_ref[j, 0] for j in range(n_params)] if n_params else None
-        )
+        if not n_params:
+            params = None
+        elif batched_params:
+            # per-scenario params as (S, 128) tiles (see ilqr.py)
+            params = [params_ref[0, j] for j in range(n_params)]
+        else:
+            params = [params_ref[j, 0] for j in range(n_params)]
 
         def control(t, x, alpha):
             """u = u_hat + alpha k + K (x - x_hat), clamped."""
@@ -200,18 +205,46 @@ def linesearch_rollout_pallas(
 
     entries_step = None
     params_arr = None
+    batched_params = False
     if dyn is not None:
-        params_arr = dyn.kernel_params().astype(jnp.float32).reshape(-1, 1)
+        params_raw = dyn.kernel_params().astype(jnp.float32)
+        batched_params = params_raw.ndim == 2
+        if batched_params:
+            if pad:
+                params_raw = jnp.concatenate(
+                    [
+                        params_raw,
+                        jnp.broadcast_to(
+                            params_raw[:1], (pad, params_raw.shape[1])
+                        ),
+                    ],
+                    axis=0,
+                )
+            params_arr = _to_kernel_layout(params_raw[None], G)[:, 0]
+            n_params = params_raw.shape[1]
+        else:
+            params_arr = params_raw.reshape(-1, 1)
+            n_params = params_arr.shape[0]
         entries_step = dyn.entries_step
-    n_params = 0 if params_arr is None else params_arr.shape[0]
+    else:
+        n_params = 0
 
     ins = []
     in_specs = []
     if n_params:
         ins.append(params_arr)
-        in_specs.append(
-            pl.BlockSpec((n_params, 1), lambda g: (0, 0), memory_space=pltpu.SMEM)
-        )
+        if batched_params:
+            in_specs.append(
+                pl.BlockSpec(
+                    (1, n_params, SUBLANE, LANE),
+                    lambda g: (g, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+        else:
+            in_specs.append(
+                pl.BlockSpec((n_params, 1), lambda g: (0, 0), memory_space=pltpu.SMEM)
+            )
 
     def add(x):
         ins.append(x)
@@ -246,7 +279,8 @@ def linesearch_rollout_pallas(
     ]
 
     kernel = _make_kernel(
-        T, n, mm, max_iter, decay, constrained, delta_u, entries_step, n_params
+        T, n, mm, max_iter, decay, constrained, delta_u, entries_step, n_params,
+        batched_params=batched_params,
     )
     xs_l, us_l, obj_l, alpha_l, impr_l = pl.pallas_call(
         kernel,

@@ -31,7 +31,8 @@ from .riccati import (
 
 
 def _make_kernel(
-    T, n, m, n_alpha, decay, constrained, delta_u, entries_step, n_params, linear
+    T, n, m, n_alpha, decay, constrained, delta_u, entries_step, n_params, linear,
+    batched_params=False,
 ):
     nm = n + m
     # streamed inputs per t: C, c, K, k, x_hat, u_hat [+ F, f][+ lo, hi]
@@ -59,7 +60,13 @@ def _make_kernel(
         sem_out = scr[n_stream + 3]
 
         ix = {nm_: k for k, nm_ in enumerate(names)}
-        params = [params_ref[j, 0] for j in range(n_params)] if n_params else None
+        if not n_params:
+            params = None
+        elif batched_params:
+            # per-scenario params as (S, 128) tiles (see ilqr.py)
+            params = [params_ref[0, j] for j in range(n_params)]
+        else:
+            params = [params_ref[j, 0] for j in range(n_params)]
         g = pl.program_id(0)
         zero = jnp.zeros((SUBLANE, LANE), jnp.float32)
 
@@ -262,13 +269,38 @@ def linesearch_rollout_pallas_stream(
     ins = []
     in_specs = []
     n_params = 0
+    batched_params = False
     if dyn is not None:
-        params_arr = dyn.kernel_params().astype(jnp.float32).reshape(-1, 1)
-        n_params = params_arr.shape[0]
-        ins.append(params_arr)
-        in_specs.append(
-            pl.BlockSpec((n_params, 1), lambda g: (0, 0), memory_space=pltpu.SMEM)
-        )
+        params_raw = dyn.kernel_params().astype(jnp.float32)
+        batched_params = params_raw.ndim == 2
+        if batched_params:
+            if pad:
+                params_raw = jnp.concatenate(
+                    [
+                        params_raw,
+                        jnp.broadcast_to(
+                            params_raw[:1], (pad, params_raw.shape[1])
+                        ),
+                    ],
+                    axis=0,
+                )
+            params_arr = _to_kernel_layout(params_raw[None], G)[:, 0]
+            n_params = params_raw.shape[1]
+            ins.append(params_arr)
+            in_specs.append(
+                pl.BlockSpec(
+                    (1, n_params, SUBLANE, LANE),
+                    lambda g: (g, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+        else:
+            params_arr = params_raw.reshape(-1, 1)
+            n_params = params_arr.shape[0]
+            ins.append(params_arr)
+            in_specs.append(
+                pl.BlockSpec((n_params, 1), lambda g: (0, 0), memory_space=pltpu.SMEM)
+            )
     layouts = [_to_kernel_layout(f32(a), G) for a in stream_arrays]
     ins += layouts
     in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * len(layouts)
@@ -304,6 +336,7 @@ def linesearch_rollout_pallas_stream(
     kernel = _make_kernel(
         T, n, mm, max_iter, decay, constrained, delta_u,
         dyn.entries_step if dyn is not None else None, n_params, linear,
+        batched_params=batched_params,
     )
     xs_l, us_l, obj_l, alpha_l, impr_l = pl.pallas_call(
         kernel,

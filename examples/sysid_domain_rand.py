@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""Per-scenario system identification under domain randomization.
+
+Beyond the reference surface (whose env params are module-level scalars
+shared by the whole batch — [RECALL: mpc/env_dx/pendulum.py params]): every
+scenario in the batch has its OWN true physics ``(g, m, l)`` drawn from a
+randomization distribution, and a single training loop recovers the whole
+``(B, 3)`` parameter array jointly:
+
+1. draw per-scenario true params, generate expert controls with ONE batched
+   MPC solve (per-scenario params ride the fused kernels as VMEM tiles);
+2. start every scenario from the same perturbed nominal guess;
+3. minimize MSE(learned-model MPC controls, expert controls) — the analytic
+   KKT backward returns an independent gradient row per scenario, so all
+   sysid problems train in lockstep at full fused-kernel throughput.
+
+A single trajectory under-determines three parameters, so each scenario
+observes ``--replicas`` expert trajectories from distinct initial states:
+the solve batch is ``(scenarios × replicas)`` with the learnable ``(B, 3)``
+array repeated along the batch axis (``jnp.repeat`` — its transpose sums
+the replica gradient rows into each scenario row).
+
+Single-chip by design: per-scenario params are batch-aligned, so under a
+mesh they would shard with the batch (P(BATCH_AXIS), no pmean) — a
+different contract than ``make_dp_train_step``'s replicated params; see
+docs/PARITY.md "Beyond the reference".
+"""
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffmpc_tpu import MPCConfig, QuadCost
+from diffmpc_tpu.models import PendulumDx
+from diffmpc_tpu.parallel import (
+    generate_expert_data,
+    init_train_state,
+    make_dp_train_step,
+)
+from diffmpc_tpu.utils.logging import CSVLogger, table_log
+
+from common import random_pendulum_x_init
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--batch", type=int, default=128,
+                    help="number of scenarios (distinct true physics)")
+    ap.add_argument("--replicas", type=int, default=8,
+                    help="expert trajectories per scenario (solve batch = "
+                         "batch * replicas)")
+    ap.add_argument("--horizon", type=int, default=20)
+    ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--lr", type=float, default=5e-2)
+    ap.add_argument("--lqr-iter", type=int, default=10)
+    ap.add_argument("--rand", type=float, default=0.2,
+                    help="randomization half-width: true params ~ U(1±rand)")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--out", default="results/sysid_domain_rand")
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import optax
+
+    dtype = jnp.float32
+    T, B = args.horizon, args.batch
+    nominal = PendulumDx.default(dtype)
+    q, p = nominal.get_true_obj()
+    cost = QuadCost(jnp.diag(q), p)
+    config = MPCConfig(
+        n_state=3, n_ctrl=1, T=T, lqr_iter=args.lqr_iter, eps=1e-5,
+        exit_unconverged=False, detach_unconverged=True, dtype=dtype,
+    )
+
+    K = args.replicas
+    rng = np.random.default_rng(args.seed)
+    true_params = jnp.asarray(
+        np.asarray(nominal.params)
+        * rng.uniform(1 - args.rand, 1 + args.rand, (B, 3)),
+        dtype,
+    )
+    x_init = random_pendulum_x_init(B * K, args.seed, dtype)
+
+    print(f"generating expert data: {B} scenarios x {K} trajectories, "
+          f"each scenario its own (g, m, l)")
+    t0 = time.time()
+    _, u_expert, expert_objs = jax.jit(
+        lambda pp, x: generate_expert_data(
+            config, cost, nominal.replace(params=jnp.repeat(pp, K, axis=0)),
+            x, -2.0, 2.0,
+        )
+    )(true_params, x_init)
+    jax.block_until_ready(u_expert)
+    print(f"expert data in {time.time() - t0:.2f}s, "
+          f"mean obj {float(jnp.mean(expert_objs)):.4f}")
+
+    # every scenario starts from the same perturbed nominal guess
+    params0 = jnp.broadcast_to(
+        jnp.asarray(np.asarray(nominal.params) * rng.uniform(0.8, 1.2, 3), dtype),
+        (B, 3),
+    )
+
+    def make_problem(params):
+        return cost, nominal.replace(params=jnp.repeat(params, K, axis=0))
+
+    optimizer = optax.adam(args.lr)
+    step = make_dp_train_step(
+        config, make_problem, optimizer, mesh=None, u_lower=-2.0, u_upper=2.0
+    )
+    state = init_train_state(params0, optimizer)
+
+    def param_err(params):
+        """Mean relative per-scenario parameter error."""
+        return float(jnp.mean(jnp.abs(params - true_params) / true_params))
+
+    logger = CSVLogger(
+        os.path.join(args.out, "train.csv"),
+        ["step", "loss", "grad_norm", "converged_frac", "param_err", "dt"],
+    )
+    for i in range(args.steps):
+        t0 = time.time()
+        state, stats = step(state, x_init, u_expert)
+        stats = jax.device_get(stats)
+        dt = time.time() - t0
+        err = param_err(state.params)
+        if i % 10 == 0 or i == args.steps - 1:
+            table_log(
+                "sysid_dr",
+                (
+                    ("step", i),
+                    ("loss", float(stats.loss), "{:.3e}"),
+                    ("param_err", err, "{:.4f}"),
+                    ("conv", float(stats.converged_frac), "{:.2f}"),
+                    ("s/step", dt, "{:.3f}"),
+                ),
+            )
+        logger.log(
+            step=i, loss=float(stats.loss), grad_norm=float(stats.grad_norm),
+            converged_frac=float(stats.converged_frac), param_err=err, dt=dt,
+        )
+    logger.close()
+    print(f"final mean relative param error: {param_err(state.params):.4f} "
+          f"(start: {param_err(params0):.4f})")
+    per_param = jnp.mean(
+        jnp.abs(state.params - true_params) / true_params, axis=0
+    )
+    print("  per-parameter relative error (g, m, l):",
+          np.round(np.asarray(per_param), 4),
+          "— imitation sysid identifies the g/l gravity scale best; m and l "
+          "are only partially identifiable from torque-clamped controls "
+          "(same character as the reference's shared-params experiment)")
+
+
+if __name__ == "__main__":
+    main()
