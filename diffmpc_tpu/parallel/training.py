@@ -58,6 +58,46 @@ def imitation_loss(
     return jnp.mean(per_elem), sol.info
 
 
+def _params_spec(params_batch_axes):
+    """``vmap``-``in_axes``-style axes tree -> shard_map PartitionSpec tree
+    (a pytree prefix of the params): ``0`` leaves shard with the batch,
+    ``None`` leaves replicate."""
+    if params_batch_axes is None:
+        return P()
+    if isinstance(params_batch_axes, int):
+        return P(BATCH_AXIS)
+    return jax.tree_util.tree_map(
+        lambda a: P(BATCH_AXIS) if a == 0 else P(),
+        params_batch_axes,
+        is_leaf=lambda x: x is None,
+    )
+
+
+def _reduce_grads(grads, params_batch_axes):
+    """Cross-device gradient reduction (non-VMA mode only). Replicated
+    leaves pmean to the global-batch gradient. Scenario-batched leaves stay
+    local — each row belongs to exactly one scenario on one device, so a
+    cross-device mean would mix unrelated scenarios — and only rescale from
+    the local-mean to the global-mean loss."""
+    if params_batch_axes is None:
+        return jax.lax.pmean(grads, BATCH_AXIS)
+    n_dev = jax.lax.psum(1, BATCH_AXIS)
+
+    def one(g, a):
+        return g / n_dev if a == 0 else jax.lax.pmean(g, BATCH_AXIS)
+
+    if isinstance(params_batch_axes, int):
+        return jax.tree_util.tree_map(lambda g: one(g, params_batch_axes), grads)
+    # axes tree first: it may be a prefix of grads, in which case each axes
+    # leaf governs a whole grads subtree
+    return jax.tree_util.tree_map(
+        lambda a, sub: jax.tree_util.tree_map(lambda g: one(g, a), sub),
+        params_batch_axes,
+        grads,
+        is_leaf=lambda x: x is None,
+    )
+
+
 def make_dp_train_step(
     config: MPCConfig,
     make_problem: Callable,
@@ -66,6 +106,7 @@ def make_dp_train_step(
     u_lower=None,
     u_upper=None,
     check_vma: Optional[bool] = None,
+    params_batch_axes=None,
 ):
     """Build a jitted (optionally data-parallel) imitation train step.
 
@@ -76,6 +117,17 @@ def make_dp_train_step(
     reduces gradients and stats across devices (ICI-routed on TPU pods).
     With ``mesh=None`` the same step runs single-device (the reference's
     whole parallelism story — SURVEY.md §2.3).
+
+    ``params_batch_axes`` marks learnable-params leaves that carry a leading
+    scenario axis (per-scenario / domain-randomized params, aligned with the
+    solve batch): ``None`` (default) — all leaves are scenario-independent
+    and replicated on the mesh; ``0`` — every leaf is scenario-batched and
+    sharded with the batch; or a pytree prefix of the params with ``0`` /
+    ``None`` leaves mixing the two (``vmap``-``in_axes`` style). Scenario-
+    batched gradient rows live on the device that owns the scenario — they
+    are never summed across devices (each row belongs to one scenario), so
+    the reduction differs from the replicated-leaf ``pmean``; both are
+    handled here for both ``check_vma`` modes.
     """
 
     if mesh is not None and check_vma is None:
@@ -128,20 +180,26 @@ def make_dp_train_step(
                 # of a pmean'd loss would stay an unreduced per-device
                 # local gradient — reduce explicitly AFTER differentiation
                 # instead (the classic idiom). Both modes are pinned by
-                # tests/test_sharding.py agreement tests.
+                # tests/test_sharding.py agreement tests. Scenario-batched
+                # leaves instead rescale local-mean -> global-mean (their
+                # rows never cross devices); in VMA mode both leaf kinds
+                # come out right automatically from the pmean'd loss
+                # (replicated: pvary-transpose psum; batched: local rows of
+                # the global-mean gradient).
                 loss = jax.lax.pmean(loss, BATCH_AXIS)
-                grads = jax.lax.pmean(grads, BATCH_AXIS)
+                grads = _reduce_grads(grads, params_batch_axes)
             conv = jax.lax.pmean(conv, BATCH_AXIS)
             resid = jax.lax.pmean(resid, BATCH_AXIS)
             clamp = jax.lax.pmean(clamp, BATCH_AXIS)
         return loss, grads, conv, resid, clamp
 
     if mesh is not None:
+        params_spec = _params_spec(params_batch_axes)
         grads_fn = jax.shard_map(
             local_grads,
             mesh=mesh,
-            in_specs=(P(), P(BATCH_AXIS), P(None, BATCH_AXIS)),
-            out_specs=(P(), P(), P(), P(), P()),
+            in_specs=(params_spec, P(BATCH_AXIS), P(None, BATCH_AXIS)),
+            out_specs=(P(), params_spec, P(), P(), P()),
             check_vma=check_vma,
         )
     else:

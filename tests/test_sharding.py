@@ -194,3 +194,102 @@ def test_dp_train_step_both_vma_modes_agree(problem):
             float(stn.grad_norm), float(st1.grad_norm), rtol=1e-6,
             err_msg=f"check_vma={cv}",
         )
+
+
+def test_dp_train_step_per_scenario_params(problem):
+    """Per-scenario (domain-randomized) learnable params shard WITH the
+    batch (params_batch_axes=0): each device owns its scenarios' parameter
+    rows, and gradient rows must never be pmean'd across devices (that
+    would mix unrelated scenarios). Both VMA modes must equal the
+    single-device step exactly (f64 branch-stable config)."""
+    config, cost, dx, x_init = problem
+    T, B = config.T, x_init.shape[0]
+    u_expert = jnp.zeros((T, B, 1), x_init.dtype)
+    rng = np.random.default_rng(53)
+    params_b = jnp.asarray(
+        np.asarray(dx.params) * rng.uniform(0.9, 1.1, (B, 3)), x_init.dtype
+    )
+
+    def make_problem(params):
+        return cost, dx.replace(params=params)
+
+    opt = optax.sgd(1e-2)
+    mesh = make_mesh()
+    s0 = init_train_state(params_b, opt)
+    s1, st1 = make_dp_train_step(config, make_problem, opt, None, -2.0, 2.0)(
+        s0, x_init, u_expert
+    )
+    assert s1.params.shape == (B, 3)
+    for cv in (True, False):
+        step_n = make_dp_train_step(
+            config, make_problem, opt, mesh, -2.0, 2.0,
+            check_vma=cv, params_batch_axes=0,
+        )
+        sn, stn = step_n(
+            init_train_state(shard_batch(mesh, params_b, 0), opt),
+            shard_batch(mesh, x_init, 0),
+            shard_batch(mesh, u_expert, 1),
+        )
+        np.testing.assert_allclose(
+            np.asarray(sn.params), np.asarray(s1.params), atol=1e-7,
+            err_msg=f"check_vma={cv}",
+        )
+        np.testing.assert_allclose(
+            float(stn.loss), float(st1.loss), rtol=1e-9,
+            err_msg=f"check_vma={cv}",
+        )
+        np.testing.assert_allclose(
+            float(stn.grad_norm), float(st1.grad_norm), rtol=1e-6,
+            err_msg=f"check_vma={cv}",
+        )
+
+
+def test_dp_train_step_mixed_params_axes(problem):
+    """Mixed learnable-params pytree: a per-scenario (B, 3) leaf (sharded,
+    axes 0) plus a shared (3,) bias leaf (replicated, axes None) trained
+    together; gradients of both must match the single-device step in both
+    VMA modes."""
+    config, cost, dx, x_init = problem
+    T, B = config.T, x_init.shape[0]
+    u_expert = jnp.zeros((T, B, 1), x_init.dtype)
+    rng = np.random.default_rng(54)
+    params0 = {
+        "dyn": jnp.asarray(
+            np.asarray(dx.params) * rng.uniform(0.9, 1.1, (B, 3)), x_init.dtype
+        ),
+        "bias": jnp.asarray([0.1, -0.05, 0.02], x_init.dtype),
+    }
+    axes = {"dyn": 0, "bias": None}
+
+    def make_problem(params):
+        return cost, dx.replace(params=params["dyn"] + params["bias"])
+
+    opt = optax.sgd(1e-2)
+    mesh = make_mesh()
+    s0 = init_train_state(params0, opt)
+    s1, st1 = make_dp_train_step(config, make_problem, opt, None, -2.0, 2.0)(
+        s0, x_init, u_expert
+    )
+    for cv in (True, False):
+        step_n = make_dp_train_step(
+            config, make_problem, opt, mesh, -2.0, 2.0,
+            check_vma=cv, params_batch_axes=axes,
+        )
+        sharded0 = {
+            "dyn": shard_batch(mesh, params0["dyn"], 0),
+            "bias": params0["bias"],
+        }
+        sn, stn = step_n(
+            init_train_state(sharded0, opt),
+            shard_batch(mesh, x_init, 0),
+            shard_batch(mesh, u_expert, 1),
+        )
+        for k in ("dyn", "bias"):
+            np.testing.assert_allclose(
+                np.asarray(sn.params[k]), np.asarray(s1.params[k]), atol=1e-7,
+                err_msg=f"check_vma={cv} leaf={k}",
+            )
+        np.testing.assert_allclose(
+            float(stn.grad_norm), float(st1.grad_norm), rtol=1e-6,
+            err_msg=f"check_vma={cv}",
+        )
