@@ -257,3 +257,41 @@ def test_per_scenario_sysid_improves():
         losses.append(float(stats.loss))
     assert losses[-1] < 0.6 * losses[0], losses[::10]
     assert err(state.params) < err(params0), (err(params0), err(state.params))
+
+
+def test_cartpole_fused_batched_params_matches_xla():
+    """Per-scenario params on the SECOND env family (n=5 cartpole — its
+    entries_step linearizes via in-kernel jvp, so the (S, 128) params tiles
+    must broadcast through that too)."""
+    B, T = 16, 8
+    cp = CartpoleDx.default(jnp.float32)
+    qc, pc = cp.get_true_obj()
+    cost = QuadCost(jnp.diag(qc), pc)
+    rng = np.random.default_rng(9)
+    params_b = jnp.asarray(
+        np.asarray(cp.params) * rng.uniform(0.85, 1.15, (B, 4)), jnp.float32
+    )
+    th = rng.uniform(-0.3, 0.3, B)
+    x = jnp.asarray(
+        np.stack([rng.uniform(-0.5, 0.5, B), 0 * th, np.cos(th), np.sin(th),
+                  rng.uniform(-0.5, 0.5, B)], -1), jnp.float32)
+    base = dict(
+        n_state=5, n_ctrl=1, T=T, lqr_iter=4, eps=0.0,
+        not_improved_lim=10**6, exit_unconverged=False,
+        detach_unconverged=False,
+    )
+    config_x = MPCConfig(**base, use_pallas=False)
+    config_p = MPCConfig(**base, use_pallas=True, pallas_interpret=True)
+    cpb = cp.replace(params=params_b)
+
+    ref = jax.jit(
+        lambda xx: mpc_solve(config_x, xx, cost, cpb, u_lower=-10.0, u_upper=10.0)
+    )(x)
+    out = jax.jit(
+        lambda xx: mpc_solve(config_p, xx, cost, cpb, u_lower=-10.0, u_upper=10.0)
+    )(x)
+    np.testing.assert_allclose(
+        np.asarray(out.objs), np.asarray(ref.objs), rtol=5e-3, atol=5e-3
+    )
+    close = np.abs(np.asarray(out.us) - np.asarray(ref.us)) < 1e-2
+    assert close.mean() > 0.95, close.mean()
