@@ -109,6 +109,11 @@ class CartpoleDx(Dynamics):
         import matplotlib.pyplot as plt
         import numpy as np
 
+        if self.param_batch_shape:
+            raise ValueError(
+                "get_frame renders one instance; select a scenario row "
+                "first: dx.replace(params=dx.params[b]).get_frame(x[b])"
+            )
         x = np.asarray(x)
         p = float(x[0])
         th = float(np.arctan2(x[3], x[2]))

@@ -173,6 +173,11 @@ class PendulumDx(Dynamics):
         import matplotlib.pyplot as plt
         import numpy as np
 
+        if self.param_batch_shape:
+            raise ValueError(
+                "get_frame renders one instance; select a scenario row "
+                "first: dx.replace(params=dx.params[b]).get_frame(x[b])"
+            )
         x = np.asarray(x)
         th = float(np.arctan2(x[1], x[0]))
         l = float(self.params[2])

@@ -206,6 +206,20 @@ def _augment_slew(config: MPCConfig, x_init, cost, dx, u_init, u_lower, u_upper,
     return config_aug, x_init_aug, cost_aug, dx_aug
 
 
+def _check_param_batch(dx, B):
+    """Trace-time shape check for per-scenario dynamics params. Custom
+    models whose SHARED params is legitimately a 2-D array should override
+    ``Dynamics.param_batch_shape`` to return ``()``."""
+    pbs = getattr(dx, "param_batch_shape", ())
+    if pbs and pbs != (B,):
+        raise ValueError(
+            f"per-scenario dynamics params must have leading batch shape "
+            f"({B},) to match x_init; got {pbs}. (If this model's shared "
+            f"params is intentionally 2-D, override param_batch_shape to "
+            f"return ().)"
+        )
+
+
 def mpc_solve(
     config: MPCConfig,
     x_init: jnp.ndarray,
@@ -225,6 +239,10 @@ def mpc_solve(
     parameters and (callable) cost closures via the analytic KKT backward.
     """
     if config.slew_rate_penalty is not None and config.slew_rate_penalty > 0:
+        # validate per-scenario params HERE: the recursion below wraps dx in
+        # CtrlPassthroughDynamics (no ``params`` attr), hiding the shape
+        # from the check in the non-slew path
+        _check_param_batch(dx, x_init.shape[0] if x_init.ndim else 0)
         m_orig = config.n_ctrl
         config_aug, x_init_aug, cost_aug, dx_aug = _augment_slew(
             config, x_init, cost, dx, u_init, u_lower, u_upper, prev_ctrl
@@ -260,12 +278,7 @@ def mpc_solve(
             )
     if (u_lower is None) != (u_upper is None):
         raise ValueError("u_lower and u_upper must be both set or both None")
-    pbs = getattr(dx, "param_batch_shape", ())
-    if pbs and pbs != (B,):
-        raise ValueError(
-            f"per-scenario dynamics params must have leading batch shape "
-            f"({B},) to match x_init; got {pbs}"
-        )
+    _check_param_batch(dx, B)
 
     if u_zero_I is not None:
         # The reference's ``u_zero_I`` knob: control dims held at exactly

@@ -39,9 +39,16 @@ def linearize_dynamics(
     if method in (GradMethods.ANALYTIC, GradMethods.ANALYTIC_CHECK):
         A, B = dx.grad_input(xs, us)
     elif method == GradMethods.AUTO_DIFF:
-        from ..models.dynamics import autodiff_grad_input
+        from ..models.dynamics import Dynamics, autodiff_grad_input
 
-        A, B = autodiff_grad_input(dx.forward, xs, us)
+        if getattr(dx, "param_batch_shape", ()):
+            # per-scenario (B, P) params: the base protocol's grad_input IS
+            # autodiff (jacfwd jointly mapped over (params, x, u)); closing
+            # over batched params inside a per-sample vmap would broadcast
+            # wrong shapes (see Dynamics.grad_input).
+            A, B = Dynamics.grad_input(dx, xs, us)
+        else:
+            A, B = autodiff_grad_input(dx.forward, xs, us)
     elif method == GradMethods.FINITE_DIFF:
         A, B = finite_diff_grad_input(dx.forward, xs, us, eps=fd_eps)
     else:  # pragma: no cover
@@ -78,11 +85,14 @@ def check_analytic_grads(dx, xs, us, rtol=1e-3, atol=1e-4):
     closed-form Jacobians agree with autodiff (the reference performs this
     runtime assertion inside ``linearize_dynamics``; under jit we surface it
     as an explicit host-side check)."""
-    from ..models.dynamics import autodiff_grad_input
+    from ..models.dynamics import Dynamics, autodiff_grad_input
     import numpy as np
 
     A_an, B_an = dx.grad_input(xs, us)
-    A_ad, B_ad = autodiff_grad_input(dx.forward, xs, us)
+    if getattr(dx, "param_batch_shape", ()):
+        A_ad, B_ad = Dynamics.grad_input(dx, xs, us)  # batched-aware autodiff
+    else:
+        A_ad, B_ad = autodiff_grad_input(dx.forward, xs, us)
     np.testing.assert_allclose(
         np.asarray(A_an), np.asarray(A_ad), rtol=rtol, atol=atol,
         err_msg="analytic A (d x_next / d x) disagrees with autodiff",

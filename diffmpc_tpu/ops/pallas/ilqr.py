@@ -41,6 +41,8 @@ from .riccati import (
     _from_kernel_layout,
     _to_kernel_layout,
     out_struct,
+    read_kernel_params,
+    stage_kernel_params,
 )
 
 
@@ -77,6 +79,7 @@ def _make_kernel(
 
     def kernel(*refs):
         i = 0
+        params_ref = None
         if n_params:
             params_ref = refs[i]
             i += 1
@@ -91,14 +94,7 @@ def _make_kernel(
         #           4 last_improvement, 5 last_alpha, 6 n_iters,
         #           7 mean qp iters (last active iteration)
 
-        if not n_params:
-            params = None
-        elif batched_params:
-            # per-scenario params: one (S, 128) tile per parameter; the
-            # entries_step arithmetic broadcasts tiles exactly like scalars
-            params = [params_ref[0, j] for j in range(n_params)]
-        else:
-            params = [params_ref[j, 0] for j in range(n_params)]
+        params = read_kernel_params(params_ref, n_params, batched_params)
         zero = jnp.zeros((SUBLANE, LANE), jnp.float32)
         one = jnp.ones((SUBLANE, LANE), jnp.float32)
 
@@ -418,38 +414,11 @@ def ilqr_solve_fused(
     G = B // TILE_B
 
     f32 = lambda x: x.astype(jnp.float32)
-    params_raw = dyn.kernel_params().astype(jnp.float32)
-    batched_params = params_raw.ndim == 2
-    if batched_params:
-        # per-scenario (B, P) params: pad the scenario axis like the other
-        # inputs (row 0 repeated — pad lanes are discarded but must stay
-        # finite for the in-kernel divisions), then stage as (G, P, S, 128)
-        # VMEM tiles, one tile-batch per grid cell.
-        if pad:
-            params_raw = jnp.concatenate(
-                [
-                    params_raw,
-                    jnp.broadcast_to(params_raw[:1], (pad, params_raw.shape[1])),
-                ],
-                axis=0,
-            )
-        n_params = params_raw.shape[1]
-        params_arr = _to_kernel_layout(params_raw[None], G)[:, 0]
-        ins = [params_arr]
-        in_specs = [
-            pl.BlockSpec(
-                (1, n_params, SUBLANE, LANE),
-                lambda g: (g, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            )
-        ]
-    else:
-        params_arr = params_raw.reshape(-1, 1)
-        n_params = params_arr.shape[0]
-        ins = [params_arr]
-        in_specs = [
-            pl.BlockSpec((n_params, 1), lambda g: (0, 0), memory_space=pltpu.SMEM)
-        ]
+    params_arr, n_params, batched_params, params_spec = stage_kernel_params(
+        dyn, pad, G
+    )
+    ins = [params_arr]
+    in_specs = [params_spec]
 
     def add(x):
         ins.append(x)

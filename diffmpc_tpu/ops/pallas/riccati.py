@@ -345,6 +345,56 @@ def _to_kernel_layout(x, G):
     return jnp.moveaxis(x, -3, 0)  # (G, T, *trail, S, 128)
 
 
+def stage_kernel_params(dyn, pad, G):
+    """Stage ``dyn.kernel_params()`` for a Pallas launch — the ONE copy of
+    the staging contract shared by the mega-kernel and both rollout kernels.
+
+    Shared ``(P,)`` params become SMEM scalars; per-scenario ``(B, P)``
+    params become one (S, 128) VMEM tile per parameter per grid cell (the
+    scenario axis padded like every other input — pad rows repeat row 0:
+    discarded on output but kept finite for in-kernel divisions).
+
+    Returns ``(params_arr, n_params, batched, block_spec)``.
+    """
+    params_raw = dyn.kernel_params().astype(jnp.float32)
+    batched = params_raw.ndim == 2
+    if batched:
+        if pad:
+            params_raw = jnp.concatenate(
+                [
+                    params_raw,
+                    jnp.broadcast_to(params_raw[:1], (pad, params_raw.shape[1])),
+                ],
+                axis=0,
+            )
+        n_params = params_raw.shape[1]
+        params_arr = _to_kernel_layout(params_raw[None], G)[:, 0]
+        spec = pl.BlockSpec(
+            (1, n_params, SUBLANE, LANE),
+            lambda g: (g, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        params_arr = params_raw.reshape(-1, 1)
+        n_params = params_arr.shape[0]
+        spec = pl.BlockSpec(
+            (n_params, 1), lambda g: (0, 0), memory_space=pltpu.SMEM
+        )
+    return params_arr, n_params, batched, spec
+
+
+def read_kernel_params(params_ref, n_params, batched_params):
+    """In-kernel counterpart of :func:`stage_kernel_params`: unpack the
+    params ref into a list of per-parameter values — SMEM scalars, or
+    (S, 128) VMEM tiles that broadcast through ``entries_step`` arithmetic
+    exactly like scalars."""
+    if not n_params:
+        return None
+    if batched_params:
+        return [params_ref[0, j] for j in range(n_params)]
+    return [params_ref[j, 0] for j in range(n_params)]
+
+
 def _from_kernel_layout(x):
     """(G, T, d1, d2?, S, 128) -> (T, B, d1, d2?)."""
     x = jnp.moveaxis(x, 0, -3)  # (T, *trail, G, S, 128)

@@ -27,7 +27,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..lqr import LineSearchResult
-from .riccati import out_struct, LANE, SUBLANE, TILE_B, _from_kernel_layout, _to_kernel_layout
+from .riccati import (
+    out_struct,
+    LANE,
+    SUBLANE,
+    TILE_B,
+    _from_kernel_layout,
+    _to_kernel_layout,
+    read_kernel_params,
+    stage_kernel_params,
+)
 
 
 def _make_kernel(
@@ -38,6 +47,7 @@ def _make_kernel(
 
     def kernel(*refs):
         i = 0
+        params_ref = None
         if n_params:
             params_ref = refs[0]
             i = 1
@@ -50,13 +60,7 @@ def _make_kernel(
             i += 2
         xs_ref, us_ref, obj_ref, alpha_ref, impr_ref = refs[i : i + 5]
 
-        if not n_params:
-            params = None
-        elif batched_params:
-            # per-scenario params as (S, 128) tiles (see ilqr.py)
-            params = [params_ref[0, j] for j in range(n_params)]
-        else:
-            params = [params_ref[j, 0] for j in range(n_params)]
+        params = read_kernel_params(params_ref, n_params, batched_params)
 
         def control(t, x, alpha):
             """u = u_hat + alpha k + K (x - x_hat), clamped."""
@@ -204,47 +208,18 @@ def linesearch_rollout_pallas(
     x0_l = _to_kernel_layout(f32(x_init)[None], G)[:, 0]
 
     entries_step = None
-    params_arr = None
+    n_params = 0
     batched_params = False
-    if dyn is not None:
-        params_raw = dyn.kernel_params().astype(jnp.float32)
-        batched_params = params_raw.ndim == 2
-        if batched_params:
-            if pad:
-                params_raw = jnp.concatenate(
-                    [
-                        params_raw,
-                        jnp.broadcast_to(
-                            params_raw[:1], (pad, params_raw.shape[1])
-                        ),
-                    ],
-                    axis=0,
-                )
-            params_arr = _to_kernel_layout(params_raw[None], G)[:, 0]
-            n_params = params_raw.shape[1]
-        else:
-            params_arr = params_raw.reshape(-1, 1)
-            n_params = params_arr.shape[0]
-        entries_step = dyn.entries_step
-    else:
-        n_params = 0
-
     ins = []
     in_specs = []
-    if n_params:
-        ins.append(params_arr)
-        if batched_params:
-            in_specs.append(
-                pl.BlockSpec(
-                    (1, n_params, SUBLANE, LANE),
-                    lambda g: (g, 0, 0, 0),
-                    memory_space=pltpu.VMEM,
-                )
-            )
-        else:
-            in_specs.append(
-                pl.BlockSpec((n_params, 1), lambda g: (0, 0), memory_space=pltpu.SMEM)
-            )
+    if dyn is not None:
+        params_arr, n_params, batched_params, params_spec = stage_kernel_params(
+            dyn, pad, G
+        )
+        entries_step = dyn.entries_step
+        if n_params:
+            ins.append(params_arr)
+            in_specs.append(params_spec)
 
     def add(x):
         ins.append(x)

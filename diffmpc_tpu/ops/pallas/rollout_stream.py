@@ -27,6 +27,8 @@ from .riccati import (
     TILE_B,
     _from_kernel_layout,
     _to_kernel_layout,
+    read_kernel_params,
+    stage_kernel_params,
 )
 
 
@@ -45,6 +47,7 @@ def _make_kernel(
 
     def kernel(*refs):
         i = 0
+        params_ref = None
         if n_params:
             params_ref = refs[0]
             i = 1
@@ -60,13 +63,7 @@ def _make_kernel(
         sem_out = scr[n_stream + 3]
 
         ix = {nm_: k for k, nm_ in enumerate(names)}
-        if not n_params:
-            params = None
-        elif batched_params:
-            # per-scenario params as (S, 128) tiles (see ilqr.py)
-            params = [params_ref[0, j] for j in range(n_params)]
-        else:
-            params = [params_ref[j, 0] for j in range(n_params)]
+        params = read_kernel_params(params_ref, n_params, batched_params)
         g = pl.program_id(0)
         zero = jnp.zeros((SUBLANE, LANE), jnp.float32)
 
@@ -271,36 +268,12 @@ def linesearch_rollout_pallas_stream(
     n_params = 0
     batched_params = False
     if dyn is not None:
-        params_raw = dyn.kernel_params().astype(jnp.float32)
-        batched_params = params_raw.ndim == 2
-        if batched_params:
-            if pad:
-                params_raw = jnp.concatenate(
-                    [
-                        params_raw,
-                        jnp.broadcast_to(
-                            params_raw[:1], (pad, params_raw.shape[1])
-                        ),
-                    ],
-                    axis=0,
-                )
-            params_arr = _to_kernel_layout(params_raw[None], G)[:, 0]
-            n_params = params_raw.shape[1]
+        params_arr, n_params, batched_params, params_spec = stage_kernel_params(
+            dyn, pad, G
+        )
+        if n_params:
             ins.append(params_arr)
-            in_specs.append(
-                pl.BlockSpec(
-                    (1, n_params, SUBLANE, LANE),
-                    lambda g: (g, 0, 0, 0),
-                    memory_space=pltpu.VMEM,
-                )
-            )
-        else:
-            params_arr = params_raw.reshape(-1, 1)
-            n_params = params_arr.shape[0]
-            ins.append(params_arr)
-            in_specs.append(
-                pl.BlockSpec((n_params, 1), lambda g: (0, 0), memory_space=pltpu.SMEM)
-            )
+            in_specs.append(params_spec)
     layouts = [_to_kernel_layout(f32(a), G) for a in stream_arrays]
     ins += layouts
     in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * len(layouts)

@@ -58,16 +58,30 @@ def imitation_loss(
     return jnp.mean(per_elem), sol.info
 
 
+def _is_batched_leaf(a):
+    """Axes leaves must be exactly 0 (scenario-batched) or None
+    (replicated) — anything else (True/False, 1, strings) is ambiguous and
+    silently wrong in one direction, so it is rejected loudly."""
+    if a is None:
+        return False
+    if type(a) is int and a == 0:
+        return True
+    raise ValueError(
+        f"params_batch_axes leaves must be 0 (scenario-batched, sharded "
+        f"with the batch) or None (replicated); got {a!r}"
+    )
+
+
 def _params_spec(params_batch_axes):
     """``vmap``-``in_axes``-style axes tree -> shard_map PartitionSpec tree
     (a pytree prefix of the params): ``0`` leaves shard with the batch,
     ``None`` leaves replicate."""
     if params_batch_axes is None:
         return P()
-    if isinstance(params_batch_axes, int):
-        return P(BATCH_AXIS)
+    if type(params_batch_axes) is int:
+        return P(BATCH_AXIS) if _is_batched_leaf(params_batch_axes) else P()
     return jax.tree_util.tree_map(
-        lambda a: P(BATCH_AXIS) if a == 0 else P(),
+        lambda a: P(BATCH_AXIS) if _is_batched_leaf(a) else P(),
         params_batch_axes,
         is_leaf=lambda x: x is None,
     )
@@ -84,9 +98,9 @@ def _reduce_grads(grads, params_batch_axes):
     n_dev = jax.lax.psum(1, BATCH_AXIS)
 
     def one(g, a):
-        return g / n_dev if a == 0 else jax.lax.pmean(g, BATCH_AXIS)
+        return g / n_dev if _is_batched_leaf(a) else jax.lax.pmean(g, BATCH_AXIS)
 
-    if isinstance(params_batch_axes, int):
+    if type(params_batch_axes) is int:
         return jax.tree_util.tree_map(lambda g: one(g, params_batch_axes), grads)
     # axes tree first: it may be a prefix of grads, in which case each axes
     # leaf governs a whole grads subtree

@@ -295,3 +295,103 @@ def test_cartpole_fused_batched_params_matches_xla():
     )
     close = np.abs(np.asarray(out.us) - np.asarray(ref.us)) < 1e-2
     assert close.mean() > 0.95, close.mean()
+
+
+def test_streaming_rollout_batched_params_matches_xla():
+    """The HBM-streaming line-search rollout (long-horizon path) with
+    per-scenario params: exercises the (S, 128) VMEM params staging +
+    in-kernel tile reads on the third kernel family, pinned against the
+    XLA ladder in interpret mode."""
+    from diffmpc_tpu.ops.linearize import linearize_dynamics
+    from diffmpc_tpu.ops.lqr import lqr_linesearch_rollout, riccati_backward
+    from diffmpc_tpu.ops.pallas.rollout_stream import (
+        linesearch_rollout_pallas_stream,
+    )
+
+    T, B = 9, 16
+    dx, _, x_init = _problem(B, T)
+    params_b, _ = _two_group_params(dx, B)
+    dxb = dx.replace(params=params_b)
+    q, p = dx.get_true_obj()
+    u_hat = jnp.zeros((T, B, 1), jnp.float32)
+
+    def roll(x, ut):
+        return dxb.forward(x, ut), x
+
+    _, x_hat = jax.lax.scan(roll, x_init, u_hat)
+    C = jnp.broadcast_to(jnp.diag(q), (T, B, 4, 4)).astype(jnp.float32)
+    c = jnp.broadcast_to(p, (T, B, 4)).astype(jnp.float32)
+    lin = linearize_dynamics(dxb, x_hat, u_hat)
+    tau_hat = jnp.concatenate([x_hat, u_hat], -1)
+    c_delta = c + jnp.einsum("tbij,tbj->tbi", C, tau_hat)
+    lo = jnp.full((T, B, 1), -2.0, jnp.float32)
+    hi = jnp.full((T, B, 1), 2.0, jnp.float32)
+    res = riccati_backward(
+        C, c_delta, lin.F, None, 3, u_lower=lo, u_upper=hi, u_hat=u_hat
+    )
+
+    ref = lqr_linesearch_rollout(
+        x_init, C, c, lin.F, lin.f, res.K, res.k, x_hat, u_hat,
+        u_lower=lo, u_upper=hi,
+        dynamics_fn=lambda x, u, t: dxb.forward(x, u),
+    )
+    out = linesearch_rollout_pallas_stream(
+        x_init, C, c, None, None, res.K, res.k, x_hat, u_hat,
+        u_lower=lo, u_upper=hi, dyn=dxb, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out.alpha), np.asarray(ref.alpha))
+    np.testing.assert_allclose(np.asarray(out.us), np.asarray(ref.us), atol=5e-4)
+    np.testing.assert_allclose(
+        np.asarray(out.objs), np.asarray(ref.objs), rtol=5e-4, atol=5e-4
+    )
+
+
+def test_autodiff_grad_method_batched_params():
+    """GradMethods.AUTO_DIFF must route through the batched-aware jacfwd
+    (closing over (B, P) params inside the per-sample vmap broadcasts wrong
+    shapes — code-review regression)."""
+    from diffmpc_tpu.ops.linearize import linearize_dynamics
+    from diffmpc_tpu.types import GradMethods
+
+    B, T = 4, 5
+    dx, cost, x_init = _problem(B, T)
+    params_b, _ = _two_group_params(dx, B)
+    dxb = dx.replace(params=params_b)
+    xs = jnp.broadcast_to(x_init, (T, B, 3))
+    us = jnp.zeros((T, B, 1), jnp.float32)
+    lin_ad = linearize_dynamics(dxb, xs, us, method=GradMethods.AUTO_DIFF)
+    lin_an = linearize_dynamics(dxb, xs, us, method=GradMethods.ANALYTIC)
+    np.testing.assert_allclose(
+        np.asarray(lin_ad.F), np.asarray(lin_an.F), rtol=1e-4, atol=1e-5
+    )
+
+    config = MPCConfig(
+        n_state=3, n_ctrl=1, T=T, lqr_iter=3, grad_method=GradMethods.AUTO_DIFF,
+        exit_unconverged=False, detach_unconverged=False, use_pallas=False,
+    )
+    sol = mpc_solve(config, x_init, cost, dxb, u_lower=-2.0, u_upper=2.0)
+    assert bool(jnp.all(jnp.isfinite(sol.us)))
+
+
+def test_slew_rate_batched_params_validated_and_solves():
+    """The slew-augmented recursion wraps dx in CtrlPassthroughDynamics —
+    the per-scenario shape check must still fire before it (code-review
+    regression), and a correctly-shaped solve must work."""
+    B, T = 8, 6
+    dx, cost, x_init = _problem(B, T)
+    params_b, _ = _two_group_params(dx, B)
+    config = MPCConfig(
+        n_state=3, n_ctrl=1, T=T, lqr_iter=3, slew_rate_penalty=0.1,
+        exit_unconverged=False, detach_unconverged=False, use_pallas=False,
+    )
+    bad = jnp.broadcast_to(dx.params, (B + 1, 3))
+    with pytest.raises(ValueError, match="per-scenario"):
+        mpc_solve(
+            config, x_init, cost, dx.replace(params=bad),
+            u_lower=-2.0, u_upper=2.0,
+        )
+    sol = mpc_solve(
+        config, x_init, cost, dx.replace(params=params_b),
+        u_lower=-2.0, u_upper=2.0,
+    )
+    assert bool(jnp.all(jnp.isfinite(sol.us)))

@@ -293,3 +293,14 @@ def test_dp_train_step_mixed_params_axes(problem):
             float(stn.grad_norm), float(st1.grad_norm), rtol=1e-6,
             err_msg=f"check_vma={cv}",
         )
+
+
+def test_params_batch_axes_rejects_ambiguous_leaves():
+    """Axes leaves other than 0/None (e.g. vmap-style booleans) are
+    ambiguous — True would be silently REPLICATED (and its scenario
+    gradient rows pmean'd across devices); must raise instead."""
+    from diffmpc_tpu.parallel.training import _params_spec
+
+    for bad in (True, False, 1, {"dyn": True, "bias": False}):
+        with pytest.raises(ValueError, match="params_batch_axes"):
+            _params_spec(bad)
