@@ -395,3 +395,55 @@ def test_slew_rate_batched_params_validated_and_solves():
         u_lower=-2.0, u_upper=2.0,
     )
     assert bool(jnp.all(jnp.isfinite(sol.us)))
+
+
+def test_per_scenario_cost_matches_per_group_solves():
+    """Task randomization (the cost-side analog of per-scenario dynamics):
+    QuadCost accepts full (T, B, nm, nm)/(T, B, nm) arrays per the
+    reference's shape contract, so every scenario can solve its own
+    objective, with per-scenario cost gradients through the KKT backward."""
+    B, T = 8, 10
+    dx, cost, x_init = _problem(B, T)
+    nm = 4
+    w_hi = jnp.asarray([1.0, 1.0, 0.5, 0.01], jnp.float32)
+    w_lo = jnp.asarray([0.2, 0.2, 0.1, 0.05], jnp.float32)
+    C_b = jnp.concatenate(
+        [
+            jnp.broadcast_to(jnp.diag(w_lo), (T, B // 2, nm, nm)),
+            jnp.broadcast_to(jnp.diag(w_hi), (T, B - B // 2, nm, nm)),
+        ],
+        axis=1,
+    )
+    c_b = jnp.broadcast_to(cost.c, (T, B, nm))
+    config = MPCConfig(
+        n_state=3, n_ctrl=1, T=T, lqr_iter=6,
+        exit_unconverged=False, detach_unconverged=False, use_pallas=False,
+    )
+    sol = mpc_solve(
+        config, x_init, QuadCost(C_b, c_b), dx, u_lower=-2.0, u_upper=2.0
+    )
+    lo = mpc_solve(
+        config, x_init[: B // 2], QuadCost(jnp.diag(w_lo), cost.c), dx,
+        u_lower=-2.0, u_upper=2.0,
+    )
+    hi = mpc_solve(
+        config, x_init[B // 2 :], QuadCost(jnp.diag(w_hi), cost.c), dx,
+        u_lower=-2.0, u_upper=2.0,
+    )
+    ref_us = jnp.concatenate([lo.us, hi.us], axis=1)
+    np.testing.assert_allclose(np.asarray(sol.us), np.asarray(ref_us), atol=1e-5)
+
+    # per-scenario cost gradients: dloss/dC has the full (T, B, nm, nm)
+    # shape and scenario rows are independent
+    g = jax.jit(
+        jax.grad(
+            lambda C: jnp.sum(
+                mpc_solve(
+                    config, x_init, QuadCost(C, c_b), dx,
+                    u_lower=-2.0, u_upper=2.0,
+                ).us ** 2
+            )
+        )
+    )(C_b)
+    assert g.shape == (T, B, nm, nm)
+    assert bool(jnp.all(jnp.isfinite(g)))
