@@ -7,6 +7,7 @@ from .dynamics import (
 )
 from .envs.cartpole import CartpoleDx
 from .envs.pendulum import PendulumDx
+from .envs.quadrotor import QuadrotorDx
 
 __all__ = [
     "AffineDynamics",
@@ -15,5 +16,6 @@ __all__ = [
     "Dynamics",
     "NNDynamics",
     "PendulumDx",
+    "QuadrotorDx",
     "autodiff_grad_input",
 ]

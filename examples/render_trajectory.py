@@ -13,12 +13,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from diffmpc_tpu import MPCConfig, QuadCost, run_receding_horizon
-from diffmpc_tpu.models import CartpoleDx, PendulumDx
+from diffmpc_tpu.models import CartpoleDx, PendulumDx, QuadrotorDx
 
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--env", choices=["pendulum", "cartpole"], default="pendulum")
+    ap.add_argument(
+        "--env", choices=["pendulum", "cartpole", "quadrotor"], default="pendulum"
+    )
     ap.add_argument("--steps", type=int, default=80)
     ap.add_argument("--horizon", type=int, default=15)
     ap.add_argument("--theta0", type=float, default=0.7, help="initial angle (rad)")
@@ -38,23 +40,30 @@ def main():
         x0 = jnp.asarray(
             [[np.cos(args.theta0), np.sin(args.theta0), 0.0]], jnp.float32
         )
-        n, u_lim = 3, 2.0
-    else:
+        n, m, u_lo, u_hi = 3, 1, -2.0, 2.0
+    elif args.env == "cartpole":
         dx = CartpoleDx.default()
         x0 = jnp.asarray(
             [[0.0, 0.0, np.cos(args.theta0), np.sin(args.theta0), 0.0]], jnp.float32
         )
-        n, u_lim = 5, 10.0
+        n, m, u_lo, u_hi = 5, 1, -10.0, 10.0
+    else:
+        dx = QuadrotorDx.default()
+        # displaced + tilted hover recovery; asymmetric thrust box 0..max
+        x0 = jnp.asarray(
+            [[0.5, 0.5, args.theta0 / 2, 0.0, 0.0, 0.0]], jnp.float32
+        )
+        n, m, u_lo, u_hi = 6, 2, 0.0, dx.max_thrust
 
     q, p = dx.get_true_obj()
     cost = QuadCost(jnp.diag(q), p)
     config = MPCConfig(
-        n_state=n, n_ctrl=1, T=args.horizon, lqr_iter=8, eps=1e-5,
+        n_state=n, n_ctrl=m, T=args.horizon, lqr_iter=8, eps=1e-5,
         exit_unconverged=False, detach_unconverged=False,
     )
     xs, us, _ = jax.jit(
         lambda x: run_receding_horizon(
-            config, x, cost, dx, args.steps, u_lower=-u_lim, u_upper=u_lim
+            config, x, cost, dx, args.steps, u_lower=u_lo, u_upper=u_hi
         )
     )(x0)
     xs = np.asarray(xs)
