@@ -74,6 +74,7 @@ def _make_kernel(
     n_params,
     has_u_init,
     batched_params=False,
+    unroll=True,
 ):
     nm = n + m
 
@@ -282,14 +283,30 @@ def _make_kernel(
                 out = jax.lax.fori_loop(0, T, body, (zero, *x0))
                 return out[0]
 
-            chosen = jnp.full((SUBLANE, LANE), decay ** (n_alpha - 1), jnp.float32)
-            has = zero
-            for a_idx in range(n_alpha):
-                alpha = decay**a_idx
+            # rolled ladder (alpha carried as a tile, *= decay per trip):
+            # one rollout body in the program instead of n_alpha copies
+            def ladder_body(_a, carry):
+                alpha, chosen, has = carry
                 obj_a = rollout_obj(alpha)
                 improving = (obj_a < cur_obj) & (has == 0.0)
                 chosen = jnp.where(improving, alpha, chosen)
                 has = jnp.where(improving, 1.0, has)
+                return (alpha * decay, chosen, has)
+
+            ladder_init = (
+                one,
+                jnp.full((SUBLANE, LANE), decay ** (n_alpha - 1), jnp.float32),
+                zero,
+            )
+            if unroll:
+                carry = ladder_init
+                for _a in range(n_alpha):
+                    carry = ladder_body(_a, carry)
+                _, chosen, has = carry
+            else:
+                _, chosen, has = jax.lax.fori_loop(
+                    0, n_alpha, ladder_body, ladder_init
+                )
 
             # replay chosen mixed-alpha rollout, writing the new trajectory
             # (frozen elements keep their old one)
@@ -329,13 +346,29 @@ def _make_kernel(
             newly_done = (improvement < eps) | (nni >= not_improved_lim)
             st_s[2] = jnp.maximum(done, jnp.where(newly_done, 1.0, 0.0))
 
-        for _it in range(lqr_iter):
-            # skip remaining iLQR iterations once every scenario in the
-            # tile is frozen (early exit, matching the XLA while_loop's
-            # all-done condition)
-            @pl.when(jnp.min(st_s[2]) < 0.5)
-            def _():
-                iteration()
+        # fori_loop rather than a Python unroll: the body is iteration-
+        # independent (all state lives in scratch refs), so rolling it keeps
+        # the Mosaic program size O(1) in lqr_iter (~10x faster compiles at
+        # the default budget; runtime parity A/B'd on hardware —
+        # scripts/ab_rolled_loops.py; unroll=True keeps the round-1 variant
+        # reachable for the A/B). The pl.when guard skips remaining
+        # iterations once every scenario in the tile is frozen (early exit,
+        # matching the XLA while_loop's all-done condition).
+        if unroll:
+            for _it in range(lqr_iter):
+                @pl.when(jnp.min(st_s[2]) < 0.5)
+                def _():
+                    iteration()
+
+        else:
+            def iter_body(_i, carry):
+                @pl.when(jnp.min(st_s[2]) < 0.5)
+                def _():
+                    iteration()
+
+                return carry
+
+            jax.lax.fori_loop(0, lqr_iter, iter_body, 0)
 
         # ---- emit ----
         def emit_body(t, _):
@@ -375,6 +408,7 @@ def ilqr_solve_fused(
     best_cost_eps: float = 1e-4,
     not_improved_lim: int = 5,
     interpret: bool = False,
+    unroll: bool = True,
 ) -> FusedSolveResult:
     """Full fused iLQR solve; contract mirrors the corresponding
     :func:`diffmpc_tpu.mpc.mpc_solve` configuration. ``u_init (T,B,m)``
@@ -470,7 +504,7 @@ def ilqr_solve_fused(
         T, n, m, lqr_iter, pnqp_iter, reg, decay, max_linesearch_iter,
         delta_u, eps, best_cost_eps, not_improved_lim,
         dyn.entries_step, n_params, u_init is not None,
-        batched_params=batched_params,
+        batched_params=batched_params, unroll=unroll,
     )
     xs_l, us_l, obj_l, conv_l, impr_l, alpha_l, iters_l, qp_l = pl.pallas_call(
         kernel,

@@ -41,7 +41,7 @@ from .riccati import (
 
 def _make_kernel(
     T, n, m, n_alpha, decay, constrained, delta_u, entries_step, n_params,
-    batched_params=False,
+    batched_params=False, unroll=True,
 ):
     nm = n + m
 
@@ -131,14 +131,32 @@ def _make_kernel(
             )
 
         obj0 = hat_obj()
-        chosen = jnp.full((SUBLANE, LANE), decay ** (n_alpha - 1), jnp.float32)
-        has = jnp.zeros((SUBLANE, LANE), jnp.float32)
-        for a_idx in range(n_alpha):
-            alpha = decay**a_idx
+
+        # Rolled ladder (alpha carried as a tile, *= decay per trip): one
+        # rollout body in the Mosaic program instead of n_alpha copies —
+        # O(1)-in-n_alpha compile. unroll=True keeps the round-1 Python
+        # unroll until runtime parity is confirmed on hardware
+        # (scripts/ab_rolled_loops.py measures the mega-kernel analog).
+        def ladder_body(_a, carry):
+            alpha, chosen, has = carry
             obj_a = rollout_obj(alpha, emit=False)
             improving = (obj_a < obj0) & (has == 0.0)
             chosen = jnp.where(improving, alpha, chosen)
             has = jnp.where(improving, 1.0, has)
+            return (alpha * decay, chosen, has)
+
+        ladder_init = (
+            jnp.ones((SUBLANE, LANE), jnp.float32),
+            jnp.full((SUBLANE, LANE), decay ** (n_alpha - 1), jnp.float32),
+            jnp.zeros((SUBLANE, LANE), jnp.float32),
+        )
+        if unroll:
+            carry = ladder_init
+            for _a in range(n_alpha):
+                carry = ladder_body(_a, carry)
+            _, chosen, has = carry
+        else:
+            _, chosen, has = jax.lax.fori_loop(0, n_alpha, ladder_body, ladder_init)
 
         obj_final = rollout_obj(chosen, emit=True)
         obj_ref[0, 0] = obj_final
