@@ -506,6 +506,16 @@ def ilqr_solve_fused(
         dyn.entries_step, n_params, u_init is not None,
         batched_params=batched_params, unroll=unroll,
     )
+    from .riccati import VMEM_BUDGET_BYTES
+
+    kw = {}
+    if VMEM_BUDGET_BYTES > 10 * 1024 * 1024:
+        # experiment mode (DIFFMPC_VMEM_BUDGET_MB raised): lift Mosaic's
+        # window along with the dispatch budget; untouched at the default
+        # so the production program is byte-identical to round 1
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=min(127 * 1024 * 1024, 3 * VMEM_BUDGET_BYTES)
+        )
     xs_l, us_l, obj_l, conv_l, impr_l, alpha_l, iters_l, qp_l = pl.pallas_call(
         kernel,
         grid=(G,),
@@ -514,6 +524,7 @@ def ilqr_solve_fused(
         out_shape=out_shapes,
         scratch_shapes=scratch,
         interpret=interpret,
+        **kw,
     )(*ins)
 
     xs = _from_kernel_layout(xs_l)[:, :orig_B].astype(dtype)

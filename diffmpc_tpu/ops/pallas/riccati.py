@@ -35,8 +35,16 @@ TILE_B = LANE * SUBLANE  # scenarios per kernel instance
 
 # Per-instance VMEM budget for kernel inputs+outputs; beyond this the
 # block would spill/fail to fit alongside double buffering, so callers
-# fall back to the XLA scan path (see fits_vmem()).
-VMEM_BUDGET_BYTES = 10 * 1024 * 1024
+# fall back to the XLA scan path (see fits_vmem()). 10 MB is the
+# empirically safe round-1 bound under Mosaic's default 32 MB window
+# (inputs+outputs double-buffer across grid cells); overridable for
+# hardware experiments via DIFFMPC_VMEM_BUDGET_MB (e.g. the nm=8
+# quadrotor mega-kernel needs ~15 MB resident).
+import os as _os
+
+VMEM_BUDGET_BYTES = (
+    int(_os.environ.get("DIFFMPC_VMEM_BUDGET_MB", "10")) * 1024 * 1024
+)
 
 
 def riccati_vmem_bytes(T: int, n: int, m: int) -> int:

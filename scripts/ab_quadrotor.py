@@ -2,6 +2,12 @@
 XLA path — the m>1 in-kernel pnqp on a real model at production batch.
 
 Same-process interleaved timing (CLAUDE.md measurement discipline).
+
+At the default VMEM budget the nm=8 problem does NOT fit the resident
+mega-kernel (riccati_vmem_bytes(20,6,2) ~ 12 MB > 10 MB), so use_pallas
+engages only the streaming kernels; run with DIFFMPC_VMEM_BUDGET_MB=24
+to put the pallas side on the full mega-kernel (experiment knob, see
+ops/pallas/riccati.py).
 """
 
 import dataclasses
