@@ -343,3 +343,44 @@ def test_vmap_over_instances_fused_path():
     g_ref = jnp.stack([jax.jit(jax.grad(loss))(p) for p in params])
     assert bool(jnp.all(jnp.isfinite(g)))
     np.testing.assert_array_equal(np.asarray(g), np.asarray(g_ref))
+
+
+def test_rolled_loops_match_unrolled():
+    """The fori_loop (rolled) mega-kernel variants must be trace-equivalent
+    to the round-1 Python unrolls (iteration body is state-in-scratch-refs;
+    ladder alpha carried as a *= decay tile). Guards the pending default
+    flip (compile-time O(1) in lqr_iter x n_alpha)."""
+    import numpy as np
+
+    from diffmpc_tpu import QuadCost
+    from diffmpc_tpu.mpc import _expand_bound, _expand_cost
+    from diffmpc_tpu.models import PendulumDx
+
+    B, T = 16, 8
+    dx = PendulumDx.default(jnp.float32)
+    q, p = dx.get_true_obj()
+    cost = _expand_cost(QuadCost(jnp.diag(q), p), T, B, jnp.float32)
+    lo = _expand_bound(-2.0, T, B, 1, jnp.float32)
+    hi = _expand_bound(2.0, T, B, 1, jnp.float32)
+    rng = np.random.default_rng(5)
+    th = rng.uniform(-np.pi, np.pi, B)
+    x = jnp.asarray(
+        np.stack([np.cos(th), np.sin(th), rng.uniform(-1, 1, B)], -1),
+        jnp.float32,
+    )
+    outs = {
+        u: ilqr_solve_fused(
+            x, cost.C, cost.c, dx, lo, hi, lqr_iter=4, eps=1e-5,
+            interpret=True, unroll=u,
+        )
+        for u in (True, False)
+    }
+    np.testing.assert_array_equal(
+        np.asarray(outs[True].us), np.asarray(outs[False].us)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(outs[True].objs), np.asarray(outs[False].objs)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(outs[True].n_iters), np.asarray(outs[False].n_iters)
+    )
