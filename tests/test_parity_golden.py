@@ -180,3 +180,38 @@ def test_pendulum_solve_golden_regression():
     )
     np.testing.assert_allclose(np.asarray(sol.us), g["us"], atol=1e-4)
     np.testing.assert_allclose(np.asarray(sol.objs), g["objs"], atol=1e-5)
+
+
+def test_quadrotor_solve_golden_regression():
+    """Regression pin for the multi-control env: the planar-quadrotor
+    hover-recovery solve's controls frozen as a golden (generated by this
+    solver, f64, CPU) — the m=2 analog of the pendulum pin above."""
+    from diffmpc_tpu.models import QuadrotorDx
+
+    B, T = 16, 20
+    dx = QuadrotorDx.default(jnp.float64)
+    q, p = dx.get_true_obj()
+    cost = QuadCost(jnp.diag(q), p)
+    rng = np.random.default_rng(778)
+    x_init = jnp.asarray(
+        np.stack(
+            [rng.uniform(-0.5, 0.5, B), rng.uniform(-0.5, 0.5, B),
+             rng.uniform(-0.3, 0.3, B), rng.uniform(-0.3, 0.3, B),
+             rng.uniform(-0.3, 0.3, B), rng.uniform(-0.3, 0.3, B)],
+            -1,
+        ),
+        jnp.float64,
+    )
+    config = MPCConfig(
+        n_state=6, n_ctrl=2, T=T, lqr_iter=15, eps=0.0, not_improved_lim=10**6,
+        exit_unconverged=False, detach_unconverged=False, dtype=jnp.float64,
+    )
+    sol = jax.jit(
+        lambda x: mpc_solve(config, x, cost, dx, u_lower=0.0, u_upper=5.0)
+    )(x_init)
+    g = _golden(
+        "quadrotor_T20B16_f64",
+        lambda: dict(us=np.asarray(sol.us), objs=np.asarray(sol.objs)),
+    )
+    np.testing.assert_allclose(np.asarray(sol.us), g["us"], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(sol.objs), g["objs"], atol=1e-5)
