@@ -206,6 +206,32 @@ def _augment_slew(config: MPCConfig, x_init, cost, dx, u_init, u_lower, u_upper,
     return config_aug, x_init_aug, cost_aug, dx_aug
 
 
+def _would_use_fused(config, B, dx, *, is_quad, constrained, is_lin):
+    """The single mega-kernel dispatch predicate (also used by tests to
+    assert a configuration genuinely engages the fused path — at B below
+    TILE_B // 2 or past the VMEM budget ``use_pallas=True`` silently takes
+    the XLA orchestration)."""
+    from .ops.lqr_step import _resolve_use_pallas
+
+    if not (
+        is_quad
+        and constrained
+        and not is_lin
+        and hasattr(dx, "entries_step")
+        and hasattr(dx, "kernel_params")
+        and getattr(dx, "kernel_fusable", True)
+        and config.grad_method != GradMethods.FINITE_DIFF
+        and config.verbose <= 0
+        and _resolve_use_pallas(config.use_pallas)
+    ):
+        return False
+    from .ops.pallas.riccati import TILE_B, fits_vmem
+
+    n, m = config.n_state, config.n_ctrl
+    scratch_bytes = config.T * (2 * n + 3 * m + m * n) * 4 * TILE_B
+    return B >= TILE_B // 2 and fits_vmem(config.T, n, m, extra=scratch_bytes)
+
+
 def _check_param_batch(dx, B):
     """Trace-time shape check for per-scenario dynamics params. Custom
     models whose SHARED params is legitimately a 2-D array should override
@@ -373,22 +399,9 @@ def mpc_solve(
         if u0_warm.ndim == 2:
             u0_warm = jnp.broadcast_to(u0_warm[:, None], (T, B, m))
 
-    use_fused = False
-    if (
-        is_quad
-        and constrained
-        and not is_lin
-        and hasattr(dx_sg, "entries_step")
-        and hasattr(dx_sg, "kernel_params")
-        and getattr(dx_sg, "kernel_fusable", True)
-        and config.grad_method != GradMethods.FINITE_DIFF
-        and config.verbose <= 0
-        and _resolve_use_pallas(config.use_pallas)
-    ):
-        from .ops.pallas.riccati import TILE_B, fits_vmem
-
-        scratch_bytes = config.T * (2 * n + 3 * m + m * n) * 4 * TILE_B
-        use_fused = B >= TILE_B // 2 and fits_vmem(T, n, m, extra=scratch_bytes)
+    use_fused = _would_use_fused(
+        config, B, dx_sg, is_quad=is_quad, constrained=constrained, is_lin=is_lin
+    )
 
     if use_fused:
         from .ops.pallas.ilqr import ilqr_solve_fused

@@ -107,7 +107,10 @@ def test_per_scenario_gradients_match_group_grads():
 
 
 def test_fused_kernel_batched_params_matches_xla():
-    B, T = 16, 8
+    # B >= TILE_B // 2 so the mega-kernel genuinely dispatches (below that
+    # use_pallas silently takes the XLA path and the comparison is vacuous);
+    # interpret cost is B-independent up to the 1024-lane tile.
+    B, T = 512, 8
     dx, cost, x_init = _problem(B, T)
     params_b, _ = _two_group_params(dx, B)
     base = dict(
@@ -118,6 +121,11 @@ def test_fused_kernel_batched_params_matches_xla():
     config_x = MPCConfig(**base, use_pallas=False)
     config_p = MPCConfig(**base, use_pallas=True, pallas_interpret=True)
     dxb = dx.replace(params=params_b)
+    from diffmpc_tpu.mpc import _would_use_fused
+
+    assert _would_use_fused(
+        config_p, B, dxb, is_quad=True, constrained=True, is_lin=False
+    )
 
     ref = jax.jit(
         lambda x: mpc_solve(config_x, x, cost, dxb, u_lower=-2.0, u_upper=2.0)
@@ -134,12 +142,18 @@ def test_fused_kernel_batched_params_matches_xla():
 
 
 def test_fused_kernel_batched_params_gradients():
-    B, T = 16, 8
+    B, T = 512, 8  # >= TILE_B // 2: fused forward + fused KKT backward engage
     dx, cost, x_init = _problem(B, T)
     params_b, _ = _two_group_params(dx, B)
     config_p = MPCConfig(
         n_state=3, n_ctrl=1, T=T, lqr_iter=3, exit_unconverged=False,
         detach_unconverged=False, use_pallas=True, pallas_interpret=True,
+    )
+    from diffmpc_tpu.mpc import _would_use_fused
+
+    assert _would_use_fused(
+        config_p, B, dx.replace(params=params_b),
+        is_quad=True, constrained=True, is_lin=False,
     )
     config_x = dataclasses.replace(
         config_p, use_pallas=False, pallas_interpret=False
@@ -156,10 +170,22 @@ def test_fused_kernel_batched_params_gradients():
     g_x = jax.jit(jax.grad(lambda p: loss(p, config_x)))(params_b)
     assert g_p.shape == (B, 3)
     assert bool(jnp.all(jnp.isfinite(g_p)))
-    # gradients flow through the final fixed point; where both paths reach
-    # the same local solution the per-scenario rows agree
+    # The analytic KKT backward is a function of the final fixed point, so
+    # the honest claim is conditional: on scenarios where both paths settle
+    # at the same local solution (chaotic swing-up diverges on the rest),
+    # the per-scenario gradient rows must agree essentially exactly.
+    def us_of(p, config):
+        return mpc_solve(
+            config, x_init, cost, dx.replace(params=p),
+            u_lower=-2.0, u_upper=2.0,
+        ).us
+
+    u_p = jax.jit(lambda p: us_of(p, config_p))(params_b)
+    u_x = jax.jit(lambda p: us_of(p, config_x))(params_b)
+    same = np.abs(np.asarray(u_p - u_x)).max(axis=(0, 2)) < 1e-3  # (B,)
+    assert same.mean() > 0.5, same.mean()
     close = np.isclose(np.asarray(g_p), np.asarray(g_x), rtol=5e-2, atol=5e-3)
-    assert close.mean() > 0.9, close.mean()
+    assert close[same].mean() > 0.99, close[same].mean()
 
 
 def test_cartpole_autodiff_grad_input_batched():
@@ -263,7 +289,7 @@ def test_cartpole_fused_batched_params_matches_xla():
     """Per-scenario params on the SECOND env family (n=5 cartpole — its
     entries_step linearizes via in-kernel jvp, so the (S, 128) params tiles
     must broadcast through that too)."""
-    B, T = 16, 8
+    B, T = 512, 8  # >= TILE_B // 2 so the mega-kernel genuinely dispatches
     cp = CartpoleDx.default(jnp.float32)
     qc, pc = cp.get_true_obj()
     cost = QuadCost(jnp.diag(qc), pc)
@@ -283,6 +309,11 @@ def test_cartpole_fused_batched_params_matches_xla():
     config_x = MPCConfig(**base, use_pallas=False)
     config_p = MPCConfig(**base, use_pallas=True, pallas_interpret=True)
     cpb = cp.replace(params=params_b)
+    from diffmpc_tpu.mpc import _would_use_fused
+
+    assert _would_use_fused(
+        config_p, B, cpb, is_quad=True, constrained=True, is_lin=False
+    )
 
     ref = jax.jit(
         lambda xx: mpc_solve(config_x, xx, cost, cpb, u_lower=-10.0, u_upper=10.0)

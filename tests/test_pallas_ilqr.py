@@ -312,11 +312,16 @@ def test_vmap_over_instances_fused_path():
     Verified on real TPU hardware as well (fwd + grad through the fused KKT
     backward); this pins the interpret-mode semantics.
     """
-    B, T = 16, 8
+    B, T = 512, 8  # >= TILE_B // 2 so the mega-kernel genuinely dispatches
     dx, C, c, x_init, _, _ = _pendulum_problem(B, T)
     config = MPCConfig(
         n_state=3, n_ctrl=1, T=T, lqr_iter=4, exit_unconverged=False,
         detach_unconverged=False, use_pallas=True, pallas_interpret=True,
+    )
+    from diffmpc_tpu.mpc import _would_use_fused
+
+    assert _would_use_fused(
+        config, B, dx, is_quad=True, constrained=True, is_lin=False
     )
     params = jnp.stack([dx.params, dx.params * 1.05, dx.params * 0.95])
 

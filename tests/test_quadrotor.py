@@ -90,12 +90,19 @@ def test_mpc_stabilizes_to_hover():
 
 
 def test_fused_kernel_matches_xla():
-    """m=2 in-kernel pnqp on a real nonlinear model (interpret mode)."""
-    B, T = 16, 8
+    """m=2 in-kernel pnqp on a real nonlinear model (interpret mode).
+    B >= TILE_B // 2 so the mega-kernel genuinely dispatches (interpret
+    cost is B-independent up to the 1024-lane tile)."""
+    B, T = 512, 8
     dx, cost, config = _setup(T, B, lqr_iter=4, eps=0.0, not_improved_lim=10**6)
     config_x = dataclasses.replace(config, use_pallas=False)
     config_p = dataclasses.replace(config, use_pallas=True, pallas_interpret=True)
     x0 = _x_init(B)
+    from diffmpc_tpu.mpc import _would_use_fused
+
+    assert _would_use_fused(
+        config_p, B, dx, is_quad=True, constrained=True, is_lin=False
+    )
     ref = jax.jit(
         lambda x: mpc_solve(config_x, x, cost, dx, u_lower=0.0, u_upper=5.0)
     )(x0)
