@@ -388,8 +388,6 @@ def mpc_solve(
     # kernel's init rollout) — running the WHOLE solve in one launch.
     # Everything else uses the general XLA orchestration below.
     # ------------------------------------------------------------------
-    from .ops.lqr_step import _resolve_use_pallas
-
     # Warm-start trajectory (the reference's u_init), expanded once for both
     # paths; the fused kernel threads it into its init rollout.
     if u_init is None:

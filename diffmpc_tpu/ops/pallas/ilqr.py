@@ -283,29 +283,42 @@ def _make_kernel(
                 out = jax.lax.fori_loop(0, T, body, (zero, *x0))
                 return out[0]
 
-            # rolled ladder (alpha carried as a tile, *= decay per trip):
-            # one rollout body in the program instead of n_alpha copies
-            def ladder_body(_a, carry):
-                alpha, chosen, has = carry
-                obj_a = rollout_obj(alpha)
-                improving = (obj_a < cur_obj) & (has == 0.0)
-                chosen = jnp.where(improving, alpha, chosen)
-                has = jnp.where(improving, 1.0, has)
-                return (alpha * decay, chosen, has)
-
-            ladder_init = (
-                one,
-                jnp.full((SUBLANE, LANE), decay ** (n_alpha - 1), jnp.float32),
-                zero,
-            )
             if unroll:
-                carry = ladder_init
-                for _a in range(n_alpha):
-                    carry = ladder_body(_a, carry)
-                _, chosen, has = carry
+                # round-1 exact-power ladder (alpha = decay**k scalars) —
+                # bitwise the production program the perf anchors measured
+                chosen = jnp.full(
+                    (SUBLANE, LANE), decay ** (n_alpha - 1), jnp.float32
+                )
+                has = zero
+                for a_idx in range(n_alpha):
+                    alpha = decay**a_idx
+                    obj_a = rollout_obj(alpha)
+                    improving = (obj_a < cur_obj) & (has == 0.0)
+                    chosen = jnp.where(improving, alpha, chosen)
+                    has = jnp.where(improving, 1.0, has)
             else:
+                # rolled ladder: alpha carried as a *= decay tile — one
+                # rollout body instead of n_alpha copies; the cumulative
+                # f32 product drifts <= ~3e-7 relative from decay**k
+                def ladder_body(_a, carry):
+                    alpha, chosen, has = carry
+                    obj_a = rollout_obj(alpha)
+                    improving = (obj_a < cur_obj) & (has == 0.0)
+                    chosen = jnp.where(improving, alpha, chosen)
+                    has = jnp.where(improving, 1.0, has)
+                    return (alpha * decay, chosen, has)
+
                 _, chosen, has = jax.lax.fori_loop(
-                    0, n_alpha, ladder_body, ladder_init
+                    0,
+                    n_alpha,
+                    ladder_body,
+                    (
+                        one,
+                        jnp.full(
+                            (SUBLANE, LANE), decay ** (n_alpha - 1), jnp.float32
+                        ),
+                        zero,
+                    ),
                 )
 
             # replay chosen mixed-alpha rollout, writing the new trajectory
@@ -506,16 +519,9 @@ def ilqr_solve_fused(
         dyn.entries_step, n_params, u_init is not None,
         batched_params=batched_params, unroll=unroll,
     )
-    from .riccati import VMEM_BUDGET_BYTES
+    from .riccati import experiment_compiler_params
 
-    kw = {}
-    if VMEM_BUDGET_BYTES > 10 * 1024 * 1024:
-        # experiment mode (DIFFMPC_VMEM_BUDGET_MB raised): lift Mosaic's
-        # window along with the dispatch budget; untouched at the default
-        # so the production program is byte-identical to round 1
-        kw["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=min(127 * 1024 * 1024, 3 * VMEM_BUDGET_BYTES)
-        )
+    kw = experiment_compiler_params()
     xs_l, us_l, obj_l, conv_l, impr_l, alpha_l, iters_l, qp_l = pl.pallas_call(
         kernel,
         grid=(G,),

@@ -38,6 +38,7 @@ from .riccati import (
     _from_kernel_layout,
     _masked_chol_solve,
     _to_kernel_layout,
+    experiment_compiler_params,
     out_struct,
 )
 
@@ -329,6 +330,7 @@ def kkt_backward_fused(
         out_shape=out_shapes,
         scratch_shapes=scratch,
         interpret=interpret,
+        **experiment_compiler_params(),
     )(*ins)
 
     dC = _from_kernel_layout(dC_l)[:, :orig_B].astype(dtype)

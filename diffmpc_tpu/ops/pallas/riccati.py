@@ -42,9 +42,27 @@ TILE_B = LANE * SUBLANE  # scenarios per kernel instance
 # quadrotor mega-kernel needs ~15 MB resident).
 import os as _os
 
+DEFAULT_VMEM_BUDGET_BYTES = 10 * 1024 * 1024
 VMEM_BUDGET_BYTES = (
     int(_os.environ.get("DIFFMPC_VMEM_BUDGET_MB", "10")) * 1024 * 1024
 )
+
+
+def experiment_compiler_params() -> dict:
+    """pallas_call kwargs for the resident kernels (everything gated by
+    :func:`fits_vmem` / ``kkt_fits_vmem``): in experiment mode — the
+    dispatch budget raised above the default via DIFFMPC_VMEM_BUDGET_MB —
+    lift Mosaic's VMEM window along with it, else the blocks that the
+    raised budget now admits would double-buffer past the default window
+    and fail to compile. Empty at the default budget so production
+    programs are unchanged."""
+    if VMEM_BUDGET_BYTES <= DEFAULT_VMEM_BUDGET_BYTES:
+        return {}
+    return {
+        "compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=min(127 * 1024 * 1024, 3 * VMEM_BUDGET_BYTES)
+        )
+    }
 
 
 def riccati_vmem_bytes(T: int, n: int, m: int) -> int:
@@ -502,6 +520,7 @@ def riccati_backward_pallas(
         out_specs=[spec(jax.ShapeDtypeStruct(s.shape, s.dtype)) for s in out_shapes],
         out_shape=out_shapes,
         interpret=interpret,
+        **experiment_compiler_params(),
     )(*ins)
     K_l, k_l, free_l = outs[:3]
 

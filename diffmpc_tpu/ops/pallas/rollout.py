@@ -34,6 +34,7 @@ from .riccati import (
     TILE_B,
     _from_kernel_layout,
     _to_kernel_layout,
+    experiment_compiler_params,
     read_kernel_params,
     stage_kernel_params,
 )
@@ -132,31 +133,38 @@ def _make_kernel(
 
         obj0 = hat_obj()
 
-        # Rolled ladder (alpha carried as a tile, *= decay per trip): one
-        # rollout body in the Mosaic program instead of n_alpha copies —
-        # O(1)-in-n_alpha compile. unroll=True keeps the round-1 Python
-        # unroll until runtime parity is confirmed on hardware
-        # (scripts/ab_rolled_loops.py measures the mega-kernel analog).
-        def ladder_body(_a, carry):
-            alpha, chosen, has = carry
-            obj_a = rollout_obj(alpha, emit=False)
-            improving = (obj_a < obj0) & (has == 0.0)
-            chosen = jnp.where(improving, alpha, chosen)
-            has = jnp.where(improving, 1.0, has)
-            return (alpha * decay, chosen, has)
-
-        ladder_init = (
-            jnp.ones((SUBLANE, LANE), jnp.float32),
-            jnp.full((SUBLANE, LANE), decay ** (n_alpha - 1), jnp.float32),
-            jnp.zeros((SUBLANE, LANE), jnp.float32),
-        )
         if unroll:
-            carry = ladder_init
-            for _a in range(n_alpha):
-                carry = ladder_body(_a, carry)
-            _, chosen, has = carry
+            # round-1 exact-power ladder (alpha = decay**k scalars)
+            chosen = jnp.full((SUBLANE, LANE), decay ** (n_alpha - 1), jnp.float32)
+            has = jnp.zeros((SUBLANE, LANE), jnp.float32)
+            for a_idx in range(n_alpha):
+                alpha = decay**a_idx
+                obj_a = rollout_obj(alpha, emit=False)
+                improving = (obj_a < obj0) & (has == 0.0)
+                chosen = jnp.where(improving, alpha, chosen)
+                has = jnp.where(improving, 1.0, has)
         else:
-            _, chosen, has = jax.lax.fori_loop(0, n_alpha, ladder_body, ladder_init)
+            # rolled ladder: alpha carried as a *= decay tile — one rollout
+            # body instead of n_alpha copies (O(1)-in-n_alpha compile; the
+            # cumulative f32 product drifts <= ~3e-7 relative from decay**k)
+            def ladder_body(_a, carry):
+                alpha, chosen, has = carry
+                obj_a = rollout_obj(alpha, emit=False)
+                improving = (obj_a < obj0) & (has == 0.0)
+                chosen = jnp.where(improving, alpha, chosen)
+                has = jnp.where(improving, 1.0, has)
+                return (alpha * decay, chosen, has)
+
+            _, chosen, has = jax.lax.fori_loop(
+                0,
+                n_alpha,
+                ladder_body,
+                (
+                    jnp.ones((SUBLANE, LANE), jnp.float32),
+                    jnp.full((SUBLANE, LANE), decay ** (n_alpha - 1), jnp.float32),
+                    jnp.zeros((SUBLANE, LANE), jnp.float32),
+                ),
+            )
 
         obj_final = rollout_obj(chosen, emit=True)
         obj_ref[0, 0] = obj_final
@@ -184,6 +192,7 @@ def linesearch_rollout_pallas(
     decay: float = 0.2,
     max_iter: int = 10,
     interpret: bool = False,
+    unroll: bool = True,
 ) -> LineSearchResult:
     """Drop-in Pallas replacement for
     :func:`diffmpc_tpu.ops.lqr.lqr_linesearch_rollout` (quadratic-cost path;
@@ -273,7 +282,7 @@ def linesearch_rollout_pallas(
 
     kernel = _make_kernel(
         T, n, mm, max_iter, decay, constrained, delta_u, entries_step, n_params,
-        batched_params=batched_params,
+        batched_params=batched_params, unroll=unroll,
     )
     xs_l, us_l, obj_l, alpha_l, impr_l = pl.pallas_call(
         kernel,
@@ -282,6 +291,7 @@ def linesearch_rollout_pallas(
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
+        **experiment_compiler_params(),
     )(*ins)
 
     xs = _from_kernel_layout(xs_l)[:, :orig_B].astype(dtype)

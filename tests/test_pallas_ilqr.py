@@ -351,10 +351,12 @@ def test_vmap_over_instances_fused_path():
 
 
 def test_rolled_loops_match_unrolled():
-    """The fori_loop (rolled) mega-kernel variants must be trace-equivalent
-    to the round-1 Python unrolls (iteration body is state-in-scratch-refs;
-    ladder alpha carried as a *= decay tile). Guards the pending default
-    flip (compile-time O(1) in lqr_iter x n_alpha)."""
+    """The fori_loop (rolled) mega-kernel variants must match the round-1
+    Python unrolls (iteration body is state-in-scratch-refs; ladder alpha
+    carried as a *= decay tile whose cumulative f32 product drifts <= ~3e-7
+    relative from the unrolled decay**k scalars — hence tight tolerances,
+    not bitwise). Guards the pending default flip (compile-time O(1) in
+    lqr_iter x n_alpha)."""
     import numpy as np
 
     from diffmpc_tpu import QuadCost
@@ -380,12 +382,63 @@ def test_rolled_loops_match_unrolled():
         )
         for u in (True, False)
     }
-    np.testing.assert_array_equal(
-        np.asarray(outs[True].us), np.asarray(outs[False].us)
+    np.testing.assert_allclose(
+        np.asarray(outs[True].us), np.asarray(outs[False].us), atol=1e-5
     )
-    np.testing.assert_array_equal(
-        np.asarray(outs[True].objs), np.asarray(outs[False].objs)
+    np.testing.assert_allclose(
+        np.asarray(outs[True].objs), np.asarray(outs[False].objs),
+        rtol=1e-5, atol=1e-5,
     )
     np.testing.assert_array_equal(
         np.asarray(outs[True].n_iters), np.asarray(outs[False].n_iters)
+    )
+
+
+def test_rollout_kernel_rolled_ladder_matches_unrolled():
+    """Same guard for the standalone line-search rollout kernel's ladder."""
+    import numpy as np
+
+    from diffmpc_tpu.models import PendulumDx
+    from diffmpc_tpu.ops.linearize import linearize_dynamics
+    from diffmpc_tpu.ops.lqr import riccati_backward
+    from diffmpc_tpu.ops.pallas.rollout import linesearch_rollout_pallas
+
+    B, T = 24, 7
+    dx = PendulumDx.default(jnp.float32)
+    q, p = dx.get_true_obj()
+    rng = np.random.default_rng(6)
+    th = rng.uniform(-np.pi, np.pi, B)
+    x_init = jnp.asarray(
+        np.stack([np.cos(th), np.sin(th), rng.uniform(-1, 1, B)], -1),
+        jnp.float32,
+    )
+    u_hat = jnp.zeros((T, B, 1), jnp.float32)
+
+    def roll(xx, ut):
+        return dx.forward(xx, ut), xx
+
+    _, x_hat = jax.lax.scan(roll, x_init, u_hat)
+    C = jnp.broadcast_to(jnp.diag(q), (T, B, 4, 4)).astype(jnp.float32)
+    c = jnp.broadcast_to(p, (T, B, 4)).astype(jnp.float32)
+    lin = linearize_dynamics(dx, x_hat, u_hat)
+    tau_hat = jnp.concatenate([x_hat, u_hat], -1)
+    c_delta = c + jnp.einsum("tbij,tbj->tbi", C, tau_hat)
+    lo = jnp.full((T, B, 1), -2.0, jnp.float32)
+    hi = jnp.full((T, B, 1), 2.0, jnp.float32)
+    res = riccati_backward(
+        C, c_delta, lin.F, None, 3, u_lower=lo, u_upper=hi, u_hat=u_hat
+    )
+    outs = {
+        u: linesearch_rollout_pallas(
+            x_init, C, c, lin.F, lin.f, res.K, res.k, x_hat, u_hat,
+            u_lower=lo, u_upper=hi, dyn=dx, interpret=True, unroll=u,
+        )
+        for u in (True, False)
+    }
+    np.testing.assert_allclose(
+        np.asarray(outs[True].us), np.asarray(outs[False].us), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs[True].alpha), np.asarray(outs[False].alpha),
+        rtol=1e-5,
     )
