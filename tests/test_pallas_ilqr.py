@@ -350,6 +350,67 @@ def test_vmap_over_instances_fused_path():
     np.testing.assert_array_equal(np.asarray(g), np.asarray(g_ref))
 
 
+@pytest.mark.parametrize("seed", range(8))
+def test_fused_shape_fuzz_vs_xla(seed):
+    """Shape fuzz that genuinely reaches the mega-kernel: random (n, m, T,
+    hidden sizes, box tightness, warm start) through `ilqr_solve_fused`
+    directly (interpret), compared against the XLA orchestration at
+    lqr_iter=1 / eps=0 (deterministic fixed-trip semantics, so tight
+    tolerances hold). Prior mpc_solve-level fuzzing at B < TILE_B // 2
+    silently compared the XLA path with itself (CLAUDE.md test-honesty
+    rule); this sweep exercises the in-kernel jvp linearization, m>=1 pnqp,
+    and masked gain solves across layouts the named-env tests never hit."""
+    from diffmpc_tpu.models import NNDynamics
+
+    rng = np.random.default_rng(2000 + seed)
+    n = int(rng.integers(2, 7))
+    m = int(rng.integers(1, 4))
+    T = int(rng.integers(3, 10))
+    depth = int(rng.integers(1, 3))
+    hidden = tuple(int(h) for h in rng.choice([4, 6, 8], size=depth))
+    B = 32
+    nm = n + m
+    key = jax.random.PRNGKey(3000 + seed)
+    nn = NNDynamics.init(key, n_state=n, n_ctrl=m, hidden=hidden,
+                         activation="tanh", residual=True)
+
+    q = jnp.asarray(rng.uniform(0.05, 1.5, nm), jnp.float32)
+    p = jnp.asarray(rng.normal(size=nm) * 0.5, jnp.float32)
+    x_init = jnp.asarray(rng.normal(size=(B, n)) * 0.5, jnp.float32)
+    C = jnp.broadcast_to(jnp.diag(q), (T, B, nm, nm)).astype(jnp.float32)
+    c = jnp.broadcast_to(p, (T, B, nm)).astype(jnp.float32)
+    bound = float(rng.uniform(0.3, 2.0))
+    lo = jnp.full((T, B, m), -bound, jnp.float32)
+    hi = jnp.full((T, B, m), bound, jnp.float32)
+    u_init = None
+    if seed % 2 == 1:
+        u_init = jnp.asarray(
+            rng.uniform(-bound, bound, (T, B, m)), jnp.float32
+        )
+
+    config = MPCConfig(
+        n_state=n, n_ctrl=m, T=T, lqr_iter=1, eps=0.0,
+        not_improved_lim=10**6, exit_unconverged=False,
+        detach_unconverged=False, use_pallas=False,
+        grad_method=__import__("diffmpc_tpu").GradMethods.AUTO_DIFF,
+    )
+    ref = jax.jit(
+        lambda x: mpc_solve(
+            config, x, QuadCost(C, c), nn,
+            u_lower=-bound, u_upper=bound, u_init=u_init,
+        )
+    )(x_init)
+    out = ilqr_solve_fused(
+        x_init, C, c, nn, lo, hi, u_init=u_init,
+        lqr_iter=1, eps=0.0, not_improved_lim=10**6, interpret=True,
+    )
+    assert bool(jnp.all(jnp.isfinite(out.objs)))
+    np.testing.assert_allclose(
+        np.asarray(out.objs), np.asarray(ref.objs), rtol=5e-4, atol=5e-4
+    )
+    np.testing.assert_allclose(np.asarray(out.us), np.asarray(ref.us), atol=2e-3)
+
+
 def test_rolled_loops_match_unrolled():
     """The fori_loop (rolled) mega-kernel variants must match the round-1
     Python unrolls (iteration body is state-in-scratch-refs; ladder alpha
