@@ -36,6 +36,9 @@ class StepStats(NamedTuple):
     clamp_frac: jnp.ndarray  # () global mean clamped-control fraction
 
 
+_NO_TASK = object()
+
+
 def imitation_loss(
     config: MPCConfig,
     params,
@@ -44,13 +47,16 @@ def imitation_loss(
     u_expert: jnp.ndarray,
     u_lower=None,
     u_upper=None,
+    task=_NO_TASK,
 ):
     """MSE between learned-model MPC controls and expert controls
     (SURVEY.md §3.5). ``make_problem(params) -> (cost, dx)`` rebuilds the
     (differentiable) cost and dynamics from the learnable parameters —
     gradients flow through the analytic KKT backward of the final LQR step
-    only, exactly like the reference's fixed-point semantics."""
-    cost, dx = make_problem(params)
+    only, exactly like the reference's fixed-point semantics. When a
+    ``task`` payload is given, ``make_problem(params, task)`` is called
+    instead (per-scenario task data, e.g. randomized goals)."""
+    cost, dx = make_problem(params) if task is _NO_TASK else make_problem(params, task)
     sol = mpc_solve(
         config, x_init, cost, dx, u_lower=u_lower, u_upper=u_upper
     )
@@ -87,6 +93,27 @@ def _params_spec(params_batch_axes):
     )
 
 
+def _task_spec(task_batch_axes):
+    """Task-payload axes tree -> shard_map PartitionSpec tree. Each leaf is
+    the position of the scenario-batch axis in that task leaf (``0`` for a
+    ``(B, ...)`` goals array, ``1`` for a ``(T, B, nm)`` cost vector, ...) or
+    ``None`` for a replicated leaf."""
+
+    def one(a):
+        if a is None:
+            return P()
+        if type(a) is int and a >= 0:
+            return P(*([None] * a), BATCH_AXIS)
+        raise ValueError(
+            f"task_batch_axes leaves must be a non-negative int (position "
+            f"of the scenario-batch axis) or None (replicated); got {a!r}"
+        )
+
+    if task_batch_axes is None or type(task_batch_axes) is int:
+        return one(task_batch_axes)
+    return jax.tree_util.tree_map(one, task_batch_axes, is_leaf=lambda x: x is None)
+
+
 def _reduce_grads(grads, params_batch_axes):
     """Cross-device gradient reduction (non-VMA mode only). Replicated
     leaves pmean to the global-batch gradient. Scenario-batched leaves stay
@@ -121,6 +148,7 @@ def make_dp_train_step(
     u_upper=None,
     check_vma: Optional[bool] = None,
     params_batch_axes=None,
+    task_batch_axes=_NO_TASK,
 ):
     """Build a jitted (optionally data-parallel) imitation train step.
 
@@ -142,7 +170,20 @@ def make_dp_train_step(
     are never summed across devices (each row belongs to one scenario), so
     the reduction differs from the replicated-leaf ``pmean``; both are
     handled here for both ``check_vma`` modes.
+
+    ``task_batch_axes`` (when given) enables a NON-learnable per-scenario
+    task payload (task randomization: per-scenario goals, setpoints, cost
+    vectors): the returned step becomes
+    ``step(state, x_init, u_expert, task)`` and ``make_problem`` is called
+    as ``make_problem(params, task)``. The axes value is a pytree prefix of
+    the task whose leaves give the position of the scenario-batch axis in
+    each task leaf (``0`` for ``(B, ...)`` goals, ``1`` for a ``(T, B, nm)``
+    cost vector) or ``None`` for replicated leaves — a closed-over
+    per-scenario array cannot shard under ``shard_map``, which is why the
+    payload is threaded explicitly. Unlike ``params_batch_axes`` this may
+    name any axis position (tasks are data, never differentiated).
     """
+    has_task = task_batch_axes is not _NO_TASK
 
     if mesh is not None and check_vma is None:
         # On the XLA path the full varying-manual-axes checker runs: every
@@ -160,10 +201,11 @@ def make_dp_train_step(
 
         check_vma = not _resolve_use_pallas(config.use_pallas)
 
-    def local_grads(params, x_init, u_expert):
+    def local_grads(params, x_init, u_expert, task=_NO_TASK):
         def loss_fn(p):
             loss, info = imitation_loss(
-                config, p, make_problem, x_init, u_expert, u_lower, u_upper
+                config, p, make_problem, x_init, u_expert, u_lower, u_upper,
+                task=task,
             )
             if mesh is not None and check_vma:
                 # VMA mode: form the global-mean loss INSIDE the
@@ -209,15 +251,34 @@ def make_dp_train_step(
 
     if mesh is not None:
         params_spec = _params_spec(params_batch_axes)
+        in_specs = (params_spec, P(BATCH_AXIS), P(None, BATCH_AXIS))
+        if has_task:
+            in_specs = in_specs + (_task_spec(task_batch_axes),)
         grads_fn = jax.shard_map(
             local_grads,
             mesh=mesh,
-            in_specs=(params_spec, P(BATCH_AXIS), P(None, BATCH_AXIS)),
+            in_specs=in_specs,
             out_specs=(P(), params_spec, P(), P(), P()),
             check_vma=check_vma,
         )
     else:
         grads_fn = local_grads
+
+    if has_task:
+
+        @jax.jit
+        def step(state: TrainState, x_init, u_expert, task):
+            loss, grads, conv, resid, clamp = grads_fn(
+                state.params, x_init, u_expert, task
+            )
+            updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            gnorm = optax.global_norm(grads)
+            return TrainState(params, opt_state), StepStats(
+                loss, gnorm, conv, resid, clamp
+            )
+
+        return step
 
     @jax.jit
     def step(state: TrainState, x_init, u_expert):

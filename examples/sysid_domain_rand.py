@@ -26,6 +26,14 @@ are batch-aligned, so they shard WITH the batch
 and their gradient rows; only replicated leaves would be pmean'd). Each
 scenario's ``--replicas`` trajectories stay on one device because the
 solve batch is ``jnp.repeat``-ordered by scenario.
+
+``--goal-rand R`` additionally randomizes the TASK per scenario: each
+scenario's experts steer to their own goal angle ``~U(-R, R)`` around
+upright, realized as a per-scenario linear cost term (the reference's
+``(T, B, nm)`` cost shape contract). The non-learnable task payload
+threads through ``step(..., task)`` with ``task_batch_axes=1`` so it
+shards with the batch under ``--mesh`` (a closed-over per-scenario array
+cannot shard inside ``shard_map``).
 """
 
 import argparse
@@ -63,6 +71,10 @@ def main():
     ap.add_argument("--lqr-iter", type=int, default=10)
     ap.add_argument("--rand", type=float, default=0.2,
                     help="randomization half-width: true params ~ U(1±rand)")
+    ap.add_argument("--goal-rand", type=float, default=0.0,
+                    help="task randomization: per-scenario goal angle "
+                         "~ U(-R, R) radians about upright (0 = shared "
+                         "upright goal)")
     ap.add_argument("--mesh", action="store_true",
                     help="shard scenarios (and their param rows) over devices")
     ap.add_argument("--seed", type=int, default=0)
@@ -92,8 +104,24 @@ def main():
     )
     x_init = random_pendulum_x_init(B * K, args.seed, dtype)
 
+    # Optional task randomization: per-scenario goal -> per-scenario linear
+    # cost term (T, B*K, nm), repeated over replicas like the params.
+    c_task = None
+    if args.goal_rand > 0:
+        thg = rng.uniform(-args.goal_rand, args.goal_rand, B)
+        goal = np.stack([np.cos(thg), np.sin(thg), 0 * thg, 0 * thg], -1)
+        c_task = jnp.asarray(
+            np.broadcast_to(
+                np.repeat(-goal * np.asarray(q), K, axis=0), (T, B * K, 4)
+            ),
+            dtype,
+        )
+        cost = QuadCost(cost.C, c_task)
+
     print(f"generating expert data: {B} scenarios x {K} trajectories, "
-          f"each scenario its own (g, m, l)")
+          f"each scenario its own (g, m, l)"
+          + (f" and its own goal (±{args.goal_rand} rad)"
+             if c_task is not None else ""))
     t0 = time.time()
     _, u_expert, expert_objs = jax.jit(
         lambda pp, x: generate_expert_data(
@@ -111,19 +139,34 @@ def main():
         (B, 3),
     )
 
-    def make_problem(params):
-        return cost, nominal.replace(params=jnp.repeat(params, K, axis=0))
+    if c_task is None:
+
+        def make_problem(params):
+            return cost, nominal.replace(params=jnp.repeat(params, K, axis=0))
+
+        task_kw, task_args = {}, ()
+    else:
+
+        def make_problem(params, task):
+            return (
+                QuadCost(cost.C, task),
+                nominal.replace(params=jnp.repeat(params, K, axis=0)),
+            )
+
+        task_kw, task_args = {"task_batch_axes": 1}, (c_task,)
 
     optimizer = optax.adam(args.lr)
     mesh = make_mesh() if args.mesh else None
     step = make_dp_train_step(
         config, make_problem, optimizer, mesh, u_lower=-2.0, u_upper=2.0,
-        params_batch_axes=0,
+        params_batch_axes=0, **task_kw,
     )
     if mesh is not None:
         params0 = shard_batch(mesh, params0, 0)
         x_init = shard_batch(mesh, x_init, 0)
         u_expert = shard_batch(mesh, u_expert, 1)
+        if c_task is not None:
+            task_args = (shard_batch(mesh, c_task, 1),)
     state = init_train_state(params0, optimizer)
 
     def param_err(params):
@@ -136,7 +179,7 @@ def main():
     )
     for i in range(args.steps):
         t0 = time.time()
-        state, stats = step(state, x_init, u_expert)
+        state, stats = step(state, x_init, u_expert, *task_args)
         stats = jax.device_get(stats)
         dt = time.time() - t0
         err = param_err(state.params)

@@ -295,6 +295,76 @@ def test_dp_train_step_mixed_params_axes(problem):
         )
 
 
+def test_dp_train_step_per_scenario_task(problem):
+    """Task randomization: a NON-learnable per-scenario task payload (here a
+    per-scenario cost linear term — every scenario pursues its own goal)
+    threads through ``step(state, x, u_exp, task)`` and shards with the
+    batch via ``task_batch_axes``. A closed-over per-scenario array cannot
+    shard under shard_map, so this is the only correct route. Both VMA modes
+    must equal the single-device step exactly (f64 branch-stable config)."""
+    config, cost, dx, x_init = problem
+    T, B = config.T, x_init.shape[0]
+    u_expert = jnp.zeros((T, B, 1), x_init.dtype)
+    rng = np.random.default_rng(55)
+    # per-scenario goal angle -> per-scenario linear cost term (T, B, 4)
+    thg = rng.uniform(-0.4, 0.4, B)
+    qdiag = jnp.diagonal(cost.C)
+    goal = np.stack([np.cos(thg), np.sin(thg), 0 * thg, 0 * thg], -1)
+    c_task = jnp.broadcast_to(
+        jnp.asarray(-goal * np.asarray(qdiag), x_init.dtype), (T, B, 4)
+    )
+
+    def make_problem(params, task):
+        return QuadCost(cost.C, task), dx.replace(params=params)
+
+    opt = optax.sgd(1e-2)
+    mesh = make_mesh()
+    s0 = init_train_state(dx.params, opt)
+    step_1 = make_dp_train_step(
+        config, make_problem, opt, None, -2.0, 2.0, task_batch_axes=1
+    )
+    s1, st1 = step_1(s0, x_init, u_expert, c_task)
+    # the task must actually matter (distinct goals -> distinct loss vs
+    # the shared-goal cost) for the agreement below to mean anything
+    st_shared = step_1(
+        s0, x_init, u_expert,
+        jnp.broadcast_to(cost.c.astype(x_init.dtype), (T, B, 4)),
+    )[1]
+    assert abs(float(st1.loss) - float(st_shared.loss)) > 1e-8
+    for cv in (True, False):
+        step_n = make_dp_train_step(
+            config, make_problem, opt, mesh, -2.0, 2.0,
+            check_vma=cv, task_batch_axes=1,
+        )
+        sn, stn = step_n(
+            s0,
+            shard_batch(mesh, x_init, 0),
+            shard_batch(mesh, u_expert, 1),
+            shard_batch(mesh, c_task, 1),
+        )
+        np.testing.assert_allclose(
+            np.asarray(sn.params), np.asarray(s1.params), atol=1e-7,
+            err_msg=f"check_vma={cv}",
+        )
+        np.testing.assert_allclose(
+            float(stn.loss), float(st1.loss), rtol=1e-9,
+            err_msg=f"check_vma={cv}",
+        )
+        np.testing.assert_allclose(
+            float(stn.grad_norm), float(st1.grad_norm), rtol=1e-6,
+            err_msg=f"check_vma={cv}",
+        )
+
+
+def test_task_batch_axes_rejects_bad_leaves():
+    """Task axes leaves must be a non-negative int or None."""
+    from diffmpc_tpu.parallel.training import _task_spec
+
+    for bad in (True, -1, {"goal": True}):
+        with pytest.raises(ValueError, match="task_batch_axes"):
+            _task_spec(bad)
+
+
 def test_params_batch_axes_rejects_ambiguous_leaves():
     """Axes leaves other than 0/None (e.g. vmap-style booleans) are
     ambiguous — True would be silently REPLICATED (and its scenario
