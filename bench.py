@@ -301,6 +301,54 @@ def main():
     except Exception as e:  # pragma: no cover
         details["nn_dynamics_error"] = repr(e)
 
+    # Quadrotor (n=6, m=2): multi-control box-DDP on real dynamics — the
+    # in-kernel m=2 pnqp / masked 2x2 Cholesky path under load.
+    try:
+        if budget_left():
+            from diffmpc_tpu import MPCConfig, QuadCost
+            from diffmpc_tpu.models import QuadrotorDx
+
+            qd = QuadrotorDx.default(jnp.float32)
+            qq, pq = qd.get_true_obj()
+            cost_qd = QuadCost(jnp.diag(qq), pq)
+            config_qd = MPCConfig(
+                n_state=6, n_ctrl=2, T=20, lqr_iter=10, eps=1e-5,
+                exit_unconverged=False, detach_unconverged=False,
+            )
+            Bq = 1024
+            rngq = np.random.default_rng(5)
+            xq = jnp.asarray(
+                np.stack(
+                    [rngq.uniform(-0.5, 0.5, Bq), rngq.uniform(-0.5, 0.5, Bq),
+                     rngq.uniform(-0.2, 0.2, Bq), 0 * np.ones(Bq),
+                     0 * np.ones(Bq), 0 * np.ones(Bq)], -1,
+                ),
+                jnp.float32,
+            )
+
+            @jax.jit
+            def solve_qd(x):
+                sol = mpc_solve(
+                    config_qd, x, cost_qd, qd,
+                    u_lower=0.0, u_upper=qd.max_thrust,
+                )
+                return sol.objs
+
+            jax.block_until_ready(solve_qd(xq))
+
+            def _t_qd():
+                t0 = time.perf_counter()
+                for _ in range(8):
+                    r = solve_qd(xq)
+                jax.block_until_ready(r)
+                return time.perf_counter() - t0
+
+            details["quadrotor_solves_per_s_T20_B1024"] = round(
+                8 * Bq / best_of(3, _t_qd), 1
+            )
+    except Exception as e:  # pragma: no cover
+        details["quadrotor_error"] = repr(e)
+
     with open("BENCH_DETAILS.json", "w") as fh:
         json.dump(details, fh, indent=1)
 
