@@ -31,9 +31,15 @@ def _load():
         return _lib
     if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
         os.makedirs(_BUILD, exist_ok=True)
+        # compile to a per-process temp name, then atomically rename: several
+        # processes (e.g. pytest-xdist workers) may race to build; each gets
+        # a complete .so and the last rename wins without ever exposing a
+        # partially-written file
+        tmp = f"{_SO}.{os.getpid()}.tmp"
         subprocess.run(
-            ["g++", "-O2", "-shared", "-fPIC", "-o", _SO, _SRC], check=True
+            ["g++", "-O2", "-shared", "-fPIC", "-o", tmp, _SRC], check=True
         )
+        os.replace(tmp, _SO)
     lib = ctypes.CDLL(_SO)
     d = ctypes.POINTER(ctypes.c_double)
     lib.diffmpc_solve_batch.restype = None
