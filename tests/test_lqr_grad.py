@@ -119,6 +119,82 @@ def test_kkt_backward_matches_fd_unconstrained(unc_problem):
         np.testing.assert_allclose(an, fd, rtol=1e-5, atol=1e-7, err_msg=str(argnum))
 
 
+@pytest.mark.parametrize("seed", range(6))
+def test_kkt_backward_shape_fuzz_unconstrained(seed):
+    """Shape fuzz for the core math: the analytic KKT backward must equal
+    autodiff-through-the-unrolled-solver for random (T, B, n, m), including
+    the edge layouts the fixed-shape tests never hit (T=1, n=1, m > n,
+    B=1). Exact oracle, f64, so tolerances stay tight."""
+    rng = np.random.default_rng(400 + seed)
+    T = int(rng.integers(1, 9))
+    B = int(rng.integers(1, 5))
+    n = int(rng.integers(1, 6))
+    m = int(rng.integers(1, 5))
+    C, c, F, f, x_init = map(
+        jnp.asarray, random_lqr_problem(rng, T, B, n, m)
+    )
+    wx = jnp.asarray(rng.standard_normal((T, B, n)))
+    wu = jnp.asarray(rng.standard_normal((T, B, m)))
+
+    def unrolled_loss(x_init, C, c, F, f):
+        xs, us = solve_unconstrained(x_init, C, c, F, f)
+        return loss_of(xs, us, wx, wu)
+
+    g_auto = jax.grad(unrolled_loss, argnums=(0, 1, 2, 3, 4))(x_init, C, c, F, f)
+    g_kkt = jax.grad(analytic_loss_unc, argnums=(0, 1, 2, 3, 4))(
+        x_init, C, c, F, f, wx, wu
+    )
+    for name, ga, gk in zip(["x_init", "C", "c", "F", "f"], g_auto, g_kkt):
+        np.testing.assert_allclose(
+            np.asarray(gk), np.asarray(ga), atol=1e-6, rtol=1e-6,
+            err_msg=f"seed={seed} T={T} B={B} n={n} m={m} arg={name}",
+        )
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_kkt_backward_shape_fuzz_box_fd(seed):
+    """Box-constrained shape fuzz: analytic KKT backward (with tight-dim
+    freezing) vs central finite differences at random shapes with active
+    constraints."""
+    rng = np.random.default_rng(500 + seed)
+    T = int(rng.integers(2, 7))
+    B = int(rng.integers(1, 4))
+    n = int(rng.integers(2, 5))
+    m = int(rng.integers(1, 4))
+    C, c, F, f, x_init = map(
+        jnp.asarray, random_lqr_problem(rng, T, B, n, m)
+    )
+    lo = jnp.full((T, B, m), -0.4)
+    hi = jnp.full((T, B, m), 0.4)
+    wx = jnp.asarray(rng.standard_normal((T, B, n)))
+    wu = jnp.asarray(rng.standard_normal((T, B, m)))
+    xs, us = solve_box(x_init, C, c, F, f, lo, hi)
+    assert int(jnp.sum((us >= hi - 1e-8) | (us <= lo + 1e-8))) > 0
+    spec = LqrSpec(n_state=n, constrained=True, tight_eps=1e-6)
+
+    def analytic_loss(x_init, C, c, F, f):
+        xs_, us_ = jax.lax.stop_gradient(solve_box(x_init, C, c, F, f, lo, hi))
+        x, u = lqr_fixed_point(spec, x_init, C, c, F, f, xs_, us_, lo, hi)
+        return loss_of(x, u, wx, wu)
+
+    def fd_loss(x_init, C, c, F, f):
+        xs_, us_ = solve_box(x_init, C, c, F, f, lo, hi)
+        return float(loss_of(xs_, us_, wx, wu))
+
+    g_kkt = jax.grad(analytic_loss, argnums=(0, 1, 2, 3, 4))(x_init, C, c, F, f)
+    args = (x_init, C, c, F, f)
+    for argnum, g in enumerate(g_kkt):
+        v = jnp.asarray(rng.standard_normal(args[argnum].shape))
+        if argnum == 1:
+            v = 0.5 * (v + jnp.swapaxes(v, -1, -2))
+        fd = _directional_fd(fd_loss, args, argnum, v, h=1e-5)
+        an = float(jnp.sum(g * v))
+        np.testing.assert_allclose(
+            an, fd, rtol=2e-4, atol=1e-6,
+            err_msg=f"seed={seed} T={T} B={B} n={n} m={m} arg={argnum}",
+        )
+
+
 @pytest.fixture(scope="module")
 def box_problem():
     rng = np.random.default_rng(12)
