@@ -275,3 +275,28 @@ class CtrlPassthroughDynamics(Dynamics):
         B_top = jnp.broadcast_to(jnp.eye(m, dtype=dtype), (*batch, m, m))
         B = jnp.concatenate([B_top, B_i], axis=-2)
         return A, B
+
+    # ------------------------------------------------------------------
+    # Kernel fusion protocol by composition: when the wrapped model is
+    # entries-fusable, the augmented [u_tilde; x] system is too — the first
+    # m state entries of the next step are just the control entries. This
+    # lets the slew-rate-penalty formulation (mpc._augment_slew) ride the
+    # fused mega-kernel instead of falling back to the XLA orchestration.
+    # ------------------------------------------------------------------
+
+    @property
+    def kernel_fusable(self) -> bool:
+        return (
+            hasattr(self.inner, "entries_step")
+            and hasattr(self.inner, "kernel_params")
+            and getattr(self.inner, "kernel_fusable", True)
+        )
+
+    def kernel_params(self):
+        return self.inner.kernel_params()
+
+    def entries_step(self, params, x_entries, u_entries):
+        nxt = self.inner.entries_step(
+            params, x_entries[self.n_ctrl :], u_entries
+        )
+        return list(u_entries) + list(nxt)

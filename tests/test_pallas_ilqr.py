@@ -350,6 +350,58 @@ def test_vmap_over_instances_fused_path():
     np.testing.assert_array_equal(np.asarray(g), np.asarray(g_ref))
 
 
+def test_slew_penalty_rides_fused_path(monkeypatch):
+    """slew_rate_penalty reformulates as a control-augmented problem whose
+    dynamics wrapper (CtrlPassthroughDynamics) now composes entries_step —
+    the augmented solve must genuinely dispatch to the mega-kernel and match
+    the XLA orchestration (fixed-trip config)."""
+    import diffmpc_tpu.ops.pallas.ilqr as ilqr_mod
+
+    calls = {"n": 0}
+    orig = ilqr_mod.ilqr_solve_fused
+
+    def counting(*args, **kwargs):
+        calls["n"] += 1
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(ilqr_mod, "ilqr_solve_fused", counting)
+
+    B, T = 520, 5  # >= TILE_B // 2 so the kernel genuinely dispatches
+    dx, C, c, x_init, _, _ = _pendulum_problem(B, T)
+    prev_u = jnp.full((B, 1), 0.5, jnp.float32)
+    kw = dict(u_lower=-2.0, u_upper=2.0, prev_ctrl=prev_u)
+    config = MPCConfig(
+        n_state=3, n_ctrl=1, T=T, lqr_iter=1, eps=0.0,
+        not_improved_lim=10**6, exit_unconverged=False,
+        detach_unconverged=False, use_pallas=True,
+        slew_rate_penalty=0.5,
+    )
+    sol = mpc_solve(config, x_init, QuadCost(C, c), dx, **kw)
+    assert calls["n"] == 1, "augmented slew problem must ride the mega-kernel"
+    assert sol.us.shape == (T, B, 1) and sol.xs.shape == (T, B, 3)
+
+    config_x = dataclasses.replace(config, use_pallas=False)
+    ref = jax.jit(
+        lambda x: mpc_solve(config_x, x, QuadCost(C, c), dx, **kw)
+    )(x_init)
+    np.testing.assert_allclose(
+        np.asarray(sol.objs), np.asarray(ref.objs), rtol=3e-4, atol=3e-4
+    )
+    np.testing.assert_allclose(np.asarray(sol.us), np.asarray(ref.us), atol=1e-3)
+    # the slew penalty must actually bite for this to mean anything: the
+    # first control should be pulled toward prev_ctrl vs the no-penalty solve
+    free = jax.jit(
+        lambda x: mpc_solve(
+            dataclasses.replace(config_x, slew_rate_penalty=None),
+            x, QuadCost(C, c), dx, u_lower=-2.0, u_upper=2.0,
+        )
+    )(x_init)
+    d_pen = jnp.abs(sol.us[0] - prev_u)
+    d_free = jnp.abs(free.us[0] - prev_u)
+    assert float(jnp.mean(d_pen)) < float(jnp.mean(d_free))
+
+
 @pytest.mark.parametrize("seed", range(8))
 def test_fused_shape_fuzz_vs_xla(seed):
     """Shape fuzz that genuinely reaches the mega-kernel: random (n, m, T,
