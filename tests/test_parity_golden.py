@@ -182,6 +182,39 @@ def test_pendulum_solve_golden_regression():
     np.testing.assert_allclose(np.asarray(sol.objs), g["objs"], atol=1e-5)
 
 
+def test_cartpole_solve_golden_regression():
+    """Regression pin for the n=5 env: cartpole balance solve's controls
+    frozen as a golden (generated by this solver, f64, CPU)."""
+    from diffmpc_tpu.models import CartpoleDx
+
+    B, T = 16, 20
+    dx = CartpoleDx.default(jnp.float64)
+    q, p = dx.get_true_obj()
+    cost = QuadCost(jnp.diag(q), p)
+    rng = np.random.default_rng(779)
+    th = rng.uniform(-0.3, 0.3, B)
+    x_init = jnp.asarray(
+        np.stack(
+            [rng.uniform(-0.5, 0.5, B), rng.uniform(-0.5, 0.5, B),
+             np.cos(th), np.sin(th), rng.uniform(-0.5, 0.5, B)], -1,
+        ),
+        jnp.float64,
+    )
+    config = MPCConfig(
+        n_state=5, n_ctrl=1, T=T, lqr_iter=15, eps=0.0, not_improved_lim=10**6,
+        exit_unconverged=False, detach_unconverged=False, dtype=jnp.float64,
+    )
+    sol = jax.jit(
+        lambda x: mpc_solve(config, x, cost, dx, u_lower=-10.0, u_upper=10.0)
+    )(x_init)
+    g = _golden(
+        "cartpole_T20B16_f64",
+        lambda: dict(us=np.asarray(sol.us), objs=np.asarray(sol.objs)),
+    )
+    np.testing.assert_allclose(np.asarray(sol.us), g["us"], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(sol.objs), g["objs"], atol=1e-5)
+
+
 def test_quadrotor_solve_golden_regression():
     """Regression pin for the multi-control env: the planar-quadrotor
     hover-recovery solve's controls frozen as a golden (generated by this
