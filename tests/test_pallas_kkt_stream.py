@@ -52,6 +52,41 @@ def test_stream_kkt_matches_xla_backward(T, n, m, n_tight):
     np.testing.assert_allclose(np.asarray(dF), np.asarray(dF_r), **tol)
 
 
+@pytest.mark.parametrize("seed", range(4))
+def test_stream_kkt_shape_fuzz(seed):
+    """Random (T, n, m, tight fraction) through the streaming KKT kernel vs
+    the XLA composite backward — same sweep as the resident-kernel fuzz
+    (test_pallas_kkt.py) so both implementations of the sign-critical
+    recursions stay pinned across layouts."""
+    rng = np.random.default_rng(1300 + seed)
+    T = int(rng.integers(1, 12))
+    n = int(rng.integers(1, 6))
+    m = int(rng.integers(1, 4))
+    B = 24
+    n_tight = int(rng.integers(0, max(1, T * B * m // 4)))
+    C, c, F, x_star, u_star, lo, hi, gx, gu = _random_residuals(
+        rng, T, B, n, m, n_tight
+    )
+    spec = LqrSpec(n_state=n, constrained=True, use_pallas=False)
+    res = (x_star[0], C, c, F, jnp.zeros((T, B, n)), x_star, u_star, lo, hi)
+    ref = _kkt_backward_impl(spec, res, (gx, gu))
+    dx_init_r, dC_r, dc_r, dF_r, df_r = ref[:5]
+
+    tight = (u_star <= lo + spec.tight_eps) | (u_star >= hi - spec.tight_eps)
+    r = jnp.concatenate([gx, jnp.where(tight, 0.0, gu)], axis=-1)
+    tau = jnp.concatenate([x_star, u_star], axis=-1)
+    dx_init, dC, dc, dF, df = kkt_backward_fused_stream(
+        C, c, F, r, tau, tight, reg=spec.back_eps, interpret=True
+    )
+    tol = dict(rtol=3e-5, atol=3e-5)
+    msg = f"seed={seed} T={T} n={n} m={m} n_tight={n_tight}"
+    for got, want in ((dx_init, dx_init_r), (dc, dc_r), (dC, dC_r),
+                      (df, df_r), (dF, dF_r)):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), err_msg=msg, **tol
+        )
+
+
 def test_stream_kkt_dispatch_over_vmem_budget(monkeypatch):
     """lqr_fixed_point routes to the STREAMING fused backward for shapes over
     both VMEM budgets (long horizon) when the batch fills a tile
