@@ -350,6 +350,49 @@ def test_vmap_over_instances_fused_path():
     np.testing.assert_array_equal(np.asarray(g), np.asarray(g_ref))
 
 
+def test_u_zero_I_on_fused_path(monkeypatch):
+    """u_zero_I realizes as the degenerate box lo = hi = 0 — the in-kernel
+    pnqp must hold those dims at exactly zero through the mega-kernel
+    (B >= TILE_B // 2 so the kernel genuinely dispatches)."""
+    from diffmpc_tpu.models import NNDynamics
+    import diffmpc_tpu.ops.pallas.ilqr as ilqr_mod
+
+    calls = {"n": 0}
+    orig = ilqr_mod.ilqr_solve_fused
+
+    def counting(*args, **kwargs):
+        calls["n"] += 1
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(ilqr_mod, "ilqr_solve_fused", counting)
+
+    B, T = 520, 6
+    key = jax.random.PRNGKey(21)
+    nn = NNDynamics.init(key, n_state=3, n_ctrl=2, hidden=(8,),
+                         activation="tanh", residual=True)
+    q = jnp.array([1.0, 1.0, 0.1, 0.001, 0.002], jnp.float32)
+    p = jnp.array([-1.0, 0.0, 0.0, 0.0, 0.0], jnp.float32)
+    rng = np.random.default_rng(705)
+    x_init = jnp.asarray(rng.normal(size=(B, 3)) * 0.5, jnp.float32)
+    C = jnp.broadcast_to(jnp.diag(q), (T, B, 5, 5)).astype(jnp.float32)
+    c = jnp.broadcast_to(p, (T, B, 5)).astype(jnp.float32)
+    config = MPCConfig(
+        n_state=3, n_ctrl=2, T=T, lqr_iter=2, eps=0.0,
+        not_improved_lim=10**6, exit_unconverged=False,
+        detach_unconverged=False, use_pallas=True,
+    )
+    mask = jnp.asarray([False, True])  # second control pinned to zero
+    sol = mpc_solve(
+        config, x_init, QuadCost(C, c), nn,
+        u_lower=-1.0, u_upper=1.0, u_zero_I=mask,
+    )
+    assert calls["n"] == 1
+    np.testing.assert_array_equal(np.asarray(sol.us[..., 1]), 0.0)
+    # the free dim must still do real work
+    assert float(jnp.mean(jnp.abs(sol.us[..., 0]))) > 1e-3
+
+
 def test_slew_penalty_rides_fused_path(monkeypatch):
     """slew_rate_penalty reformulates as a control-augmented problem whose
     dynamics wrapper (CtrlPassthroughDynamics) now composes entries_step —
