@@ -74,7 +74,7 @@ def _make_kernel(
     n_params,
     has_u_init,
     batched_params=False,
-    unroll=True,
+    unroll=False,
 ):
     nm = n + m
 
@@ -359,14 +359,17 @@ def _make_kernel(
             newly_done = (improvement < eps) | (nni >= not_improved_lim)
             st_s[2] = jnp.maximum(done, jnp.where(newly_done, 1.0, 0.0))
 
-        # fori_loop rather than a Python unroll: the body is iteration-
-        # independent (all state lives in scratch refs), so rolling it keeps
-        # the Mosaic program size O(1) in lqr_iter (~10x faster compiles at
-        # the default budget; runtime parity A/B'd on hardware —
-        # scripts/ab_rolled_loops.py; unroll=True keeps the round-1 variant
-        # reachable for the A/B). The pl.when guard skips remaining
-        # iterations once every scenario in the tile is frozen (early exit,
-        # matching the XLA while_loop's all-done condition).
+        # fori_loop (the DEFAULT) rather than a Python unroll: the body is
+        # iteration-independent (all state lives in scratch refs), so rolling
+        # it keeps the Mosaic program size O(1) in lqr_iter x n_alpha —
+        # hardware A/B (scripts/ab_rolled_loops.py, 2026-08-18): runtime
+        # parity (amortized 1.21 vs 1.22 ms/solve, ratio 0.99; controls agree
+        # to 3.7e-9), while the unrolled nm=8 quadrotor program exceeded a
+        # 10-minute Mosaic compile that the rolled one avoids. unroll=True
+        # keeps the round-1 exact-power unrolled variant reachable for A/Bs.
+        # The pl.when guard skips remaining iterations once every scenario in
+        # the tile is frozen (early exit, matching the XLA while_loop's
+        # all-done condition).
         if unroll:
             for _it in range(lqr_iter):
                 @pl.when(jnp.min(st_s[2]) < 0.5)
@@ -421,7 +424,7 @@ def ilqr_solve_fused(
     best_cost_eps: float = 1e-4,
     not_improved_lim: int = 5,
     interpret: bool = False,
-    unroll: bool = True,
+    unroll: bool = False,
 ) -> FusedSolveResult:
     """Full fused iLQR solve; contract mirrors the corresponding
     :func:`diffmpc_tpu.mpc.mpc_solve` configuration. ``u_init (T,B,m)``

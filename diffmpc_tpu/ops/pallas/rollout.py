@@ -42,7 +42,7 @@ from .riccati import (
 
 def _make_kernel(
     T, n, m, n_alpha, decay, constrained, delta_u, entries_step, n_params,
-    batched_params=False, unroll=True,
+    batched_params=False, unroll=False,
 ):
     nm = n + m
 
@@ -192,7 +192,7 @@ def linesearch_rollout_pallas(
     decay: float = 0.2,
     max_iter: int = 10,
     interpret: bool = False,
-    unroll: bool = True,
+    unroll: bool = False,
 ) -> LineSearchResult:
     """Drop-in Pallas replacement for
     :func:`diffmpc_tpu.ops.lqr.lqr_linesearch_rollout` (quadratic-cost path;

@@ -82,6 +82,41 @@ def main():
         flush=True,
     )
 
+    # Dispatch-amortized repeat (bench.py protocol): a single dispatch costs
+    # ~2-3 ms through the tunnel, which can hide a kernel-level difference;
+    # lax.map over n_sets problem sets amortizes it so the per-solve number
+    # approaches pure kernel time.
+    n_sets = 8
+    ths = np.random.default_rng(1).uniform(-np.pi, np.pi, (n_sets, B))
+    vels = np.random.default_rng(2).uniform(-1, 1, (n_sets, B))
+    xs = jnp.asarray(np.stack([np.cos(ths), np.sin(ths), vels], -1),
+                     jnp.float32)
+
+    many = {}
+    for name in ("rolled", "unrolled"):
+        fn = results[name]["fn"]
+        solve_many = jax.jit(lambda xsa, fn=fn: jax.lax.map(fn, xsa))
+        jax.block_until_ready(solve_many(xs))
+        many[name] = solve_many
+
+    t_r = t_u = float("inf")
+    for _ in range(6):
+        t0 = time.perf_counter()
+        for _ in range(4):
+            o = many["rolled"](xs)
+        jax.block_until_ready(o)
+        t_r = min(t_r, (time.perf_counter() - t0) / (4 * n_sets))
+        t0 = time.perf_counter()
+        for _ in range(4):
+            o = many["unrolled"](xs)
+        jax.block_until_ready(o)
+        t_u = min(t_u, (time.perf_counter() - t0) / (4 * n_sets))
+    print(
+        f"amortized (lax.map x{n_sets}): rolled {t_r*1e3:.3f} ms/solve, "
+        f"unrolled {t_u*1e3:.3f} ms/solve, rolled/unrolled {t_r/t_u:.3f}",
+        flush=True,
+    )
+
 
 if __name__ == "__main__":
     print("devices:", jax.devices(), flush=True)
