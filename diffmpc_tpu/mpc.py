@@ -208,9 +208,12 @@ def _augment_slew(config: MPCConfig, x_init, cost, dx, u_init, u_lower, u_upper,
 
 def _would_use_fused(config, B, dx, *, is_quad, constrained, is_lin):
     """The single mega-kernel dispatch predicate (also used by tests to
-    assert a configuration genuinely engages the fused path — at B below
-    TILE_B // 2 or past the VMEM budget ``use_pallas=True`` silently takes
-    the XLA orchestration)."""
+    assert a configuration genuinely engages the fused path — past the
+    VMEM budget ``use_pallas=True`` silently takes the XLA orchestration).
+    There is no batch floor: the kernel pads any B up to one (8, 128)
+    tile, and the padded kernel beats the XLA path at every measured
+    batch size down to B=1 on hardware (0.74-0.90x fused/xla at B<=64,
+    scripts/ab_small_batch.py, 2026-08-18)."""
     from .ops.lqr_step import _resolve_use_pallas
 
     if not (
@@ -225,11 +228,10 @@ def _would_use_fused(config, B, dx, *, is_quad, constrained, is_lin):
         and _resolve_use_pallas(config.use_pallas)
     ):
         return False
-    from .ops.pallas.riccati import TILE_B, fits_vmem
+    from .ops.pallas.riccati import ilqr_scratch_bytes, fits_vmem
 
     n, m = config.n_state, config.n_ctrl
-    scratch_bytes = config.T * (2 * n + 3 * m + m * n) * 4 * TILE_B
-    return B >= TILE_B // 2 and fits_vmem(config.T, n, m, extra=scratch_bytes)
+    return fits_vmem(config.T, n, m, extra=ilqr_scratch_bytes(config.T, n, m))
 
 
 def _check_param_batch(dx, B):

@@ -89,21 +89,21 @@ def _resolve_use_pallas(use_pallas: Optional[bool]) -> bool:
 def _riccati(spec: LqrSpec, C, c, F, f, n_state, **kwargs):
     """Dispatch between the XLA scan and the Pallas kernels: VMEM-resident
     fused kernel for short horizons, the HBM-streaming double-buffered
-    kernel for long ones, XLA scan when the batch is too small to fill a
-    tile or on CPU."""
+    kernel for long ones, XLA scan on CPU. No batch floor — the kernels
+    pad any B up to one tile and still beat the XLA path on hardware
+    (scripts/ab_small_batch.py)."""
     if _resolve_use_pallas(spec.use_pallas):
-        from .pallas.riccati import TILE_B, fits_vmem, riccati_backward_pallas
+        from .pallas.riccati import fits_vmem, riccati_backward_pallas
 
-        T, B = C.shape[0], C.shape[1]
+        T = C.shape[0]
         m = C.shape[-1] - n_state
-        if B >= TILE_B // 2:
-            kwargs.pop("pnqp_eps", None)
-            kwargs["interpret"] = spec.pallas_interpret
-            if fits_vmem(T, n_state, m):
-                return riccati_backward_pallas(C, c, F, f, n_state, **kwargs)
-            from .pallas.riccati_stream import riccati_backward_pallas_stream
+        kwargs.pop("pnqp_eps", None)
+        kwargs["interpret"] = spec.pallas_interpret
+        if fits_vmem(T, n_state, m):
+            return riccati_backward_pallas(C, c, F, f, n_state, **kwargs)
+        from .pallas.riccati_stream import riccati_backward_pallas_stream
 
-            return riccati_backward_pallas_stream(C, c, F, f, n_state, **kwargs)
+        return riccati_backward_pallas_stream(C, c, F, f, n_state, **kwargs)
     return riccati_backward(C, c, F, f, n_state, **kwargs)
 
 
@@ -164,13 +164,12 @@ def lqr_step(
     # costs, opaque user models) takes the XLA ladder.
     from .pallas.riccati import TILE_B, fits_vmem
 
-    T, B = C.shape[0], C.shape[1]
+    T = C.shape[0]
     m = C.shape[-1] - n
     fusable = (
         _resolve_use_pallas(spec.use_pallas)
         and cost_fn is None
         and (dynamics_fn is None or dyn_kernel is not None)
-        and B >= TILE_B // 2
     )
     resident = fusable and fits_vmem(T, n, m, extra=T * (2 * n + 3 * m) * 4 * TILE_B)
     if resident:
@@ -281,7 +280,6 @@ def _kkt_backward_impl(spec, res, grads):
     gx, gu = grads
     n = spec.n_state
     T = C.shape[0]
-    B = C.shape[1]
     m = C.shape[-1] - n
 
     if spec.constrained:
@@ -299,41 +297,40 @@ def _kkt_backward_impl(spec, res, grads):
     # fits (ops/pallas/kkt.py), HBM-streaming otherwise
     # (ops/pallas/kkt_stream.py).
     if _resolve_use_pallas(spec.use_pallas):
-        from .pallas.kkt import TILE_B, kkt_backward_fused, kkt_fits_vmem
+        from .pallas.kkt import kkt_backward_fused, kkt_fits_vmem
 
         from .pallas.riccati import fits_vmem as riccati_fits_vmem
 
-        if B >= TILE_B // 2:
-            fused = None
-            if kkt_fits_vmem(T, n, m):
-                fused = kkt_backward_fused
-            elif not riccati_fits_vmem(T, n, m):
-                # Over the resident-Riccati budget the composite path streams
-                # its Riccati anyway, so the fully-streamed fused backward
-                # wins (measured 1.06x at T=128 B=1024 n=3). In between
-                # (e.g. cartpole T=20) the composite's VMEM-resident Riccati
-                # beats per-step streaming (0.73x) — keep the composite.
-                from .pallas.kkt_stream import kkt_backward_fused_stream
+        fused = None
+        if kkt_fits_vmem(T, n, m):
+            fused = kkt_backward_fused
+        elif not riccati_fits_vmem(T, n, m):
+            # Over the resident-Riccati budget the composite path streams
+            # its Riccati anyway, so the fully-streamed fused backward
+            # wins (measured 1.06x at T=128 B=1024 n=3). In between
+            # (e.g. cartpole T=20) the composite's VMEM-resident Riccati
+            # beats per-step streaming (0.73x) — keep the composite.
+            from .pallas.kkt_stream import kkt_backward_fused_stream
 
-                fused = kkt_backward_fused_stream
-            if fused is not None:
-                tau = jnp.concatenate([x_star, u_star], axis=-1)
-                dx_init, dC, dc, dF, df = fused(
-                    C, c, F, r, tau, tight, reg=spec.back_eps,
-                    interpret=spec.pallas_interpret,
-                )
-                zeros_like = jnp.zeros_like
-                return (
-                    dx_init,
-                    dC,
-                    dc,
-                    dF,
-                    df,
-                    zeros_like(x_star),
-                    zeros_like(u_star),
-                    zeros_like(u_lower),
-                    zeros_like(u_upper),
-                )
+            fused = kkt_backward_fused_stream
+        if fused is not None:
+            tau = jnp.concatenate([x_star, u_star], axis=-1)
+            dx_init, dC, dc, dF, df = fused(
+                C, c, F, r, tau, tight, reg=spec.back_eps,
+                interpret=spec.pallas_interpret,
+            )
+            zeros_like = jnp.zeros_like
+            return (
+                dx_init,
+                dC,
+                dc,
+                dF,
+                df,
+                zeros_like(x_star),
+                zeros_like(u_star),
+                zeros_like(u_lower),
+                zeros_like(u_upper),
+            )
 
     # Auxiliary (adjoint) LQR: min 0.5 p'C p + r'p, A p = 0, tight dims
     # frozen. Solved by the same Riccati recursion with identity-masked

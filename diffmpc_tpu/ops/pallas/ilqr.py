@@ -522,9 +522,9 @@ def ilqr_solve_fused(
         dyn.entries_step, n_params, u_init is not None,
         batched_params=batched_params, unroll=unroll,
     )
-    from .riccati import experiment_compiler_params
+    from .riccati import experiment_compiler_params, ilqr_vmem_bytes
 
-    kw = experiment_compiler_params()
+    kw = experiment_compiler_params(ilqr_vmem_bytes(T, n, m))
     xs_l, us_l, obj_l, conv_l, impr_l, alpha_l, iters_l, qp_l = pl.pallas_call(
         kernel,
         grid=(G,),

@@ -30,11 +30,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import riccati as _riccati_mod
 from .riccati import (
     LANE,
     SUBLANE,
     TILE_B,
-    VMEM_BUDGET_BYTES,
     _from_kernel_layout,
     _masked_chol_solve,
     _to_kernel_layout,
@@ -53,7 +53,9 @@ def kkt_vmem_bytes(T: int, n: int, m: int) -> int:
 
 
 def kkt_fits_vmem(T: int, n: int, m: int) -> bool:
-    return kkt_vmem_bytes(T, n, m) <= VMEM_BUDGET_BYTES
+    # module-attribute read (not a by-value import) so tests can pin the
+    # budget by monkeypatching riccati.VMEM_BUDGET_BYTES
+    return kkt_vmem_bytes(T, n, m) <= _riccati_mod.VMEM_BUDGET_BYTES
 
 
 # ---------------------------------------------------------------------------
@@ -330,7 +332,7 @@ def kkt_backward_fused(
         out_shape=out_shapes,
         scratch_shapes=scratch,
         interpret=interpret,
-        **experiment_compiler_params(),
+        **experiment_compiler_params(kkt_vmem_bytes(T, n, m)),
     )(*ins)
 
     dC = _from_kernel_layout(dC_l)[:, :orig_B].astype(dtype)

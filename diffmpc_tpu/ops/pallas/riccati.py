@@ -34,29 +34,36 @@ SUBLANE = 8
 TILE_B = LANE * SUBLANE  # scenarios per kernel instance
 
 # Per-instance VMEM budget for kernel inputs+outputs; beyond this the
-# block would spill/fail to fit alongside double buffering, so callers
-# fall back to the XLA scan path (see fits_vmem()). 10 MB is the
-# empirically safe round-1 bound under Mosaic's default 32 MB window
-# (inputs+outputs double-buffer across grid cells); overridable for
-# hardware experiments via DIFFMPC_VMEM_BUDGET_MB (e.g. the nm=8
-# quadrotor mega-kernel needs ~15 MB resident).
+# resident kernels fall back to the HBM-streaming variants / XLA scan
+# (see fits_vmem()). 10 MB was the round-1 bound that needs no Mosaic
+# window lift; 24 MB is the round-2 default, hardware-validated on the
+# nm=8 quadrotor mega-kernel (~15 MB resident, 68x over the XLA path —
+# scripts/ab_quadrotor.py). Kernels whose footprint exceeds the no-lift
+# bound get a raised vmem_limit via experiment_compiler_params();
+# kernels at or below it compile byte-identically to round 1.
+# DIFFMPC_VMEM_BUDGET_MB overrides for experiments (e.g. 40 puts the
+# T=128 pendulum mega-kernel resident — measured 1.06x over streaming,
+# scripts/ab_resident_budget.py — at the cost of admitting unvalidated
+# nearby shapes; compile failure, not silent corruption, is the failure
+# mode past the real VMEM).
 import os as _os
 
-DEFAULT_VMEM_BUDGET_BYTES = 10 * 1024 * 1024
+NO_LIFT_VMEM_BYTES = 10 * 1024 * 1024
+DEFAULT_VMEM_BUDGET_BYTES = 24 * 1024 * 1024
 VMEM_BUDGET_BYTES = (
-    int(_os.environ.get("DIFFMPC_VMEM_BUDGET_MB", "10")) * 1024 * 1024
+    int(_os.environ.get("DIFFMPC_VMEM_BUDGET_MB", "24")) * 1024 * 1024
 )
 
 
-def experiment_compiler_params() -> dict:
-    """pallas_call kwargs for the resident kernels (everything gated by
-    :func:`fits_vmem` / ``kkt_fits_vmem``): in experiment mode — the
-    dispatch budget raised above the default via DIFFMPC_VMEM_BUDGET_MB —
-    lift Mosaic's VMEM window along with it, else the blocks that the
-    raised budget now admits would double-buffer past the default window
-    and fail to compile. Empty at the default budget so production
-    programs are unchanged."""
-    if VMEM_BUDGET_BYTES <= DEFAULT_VMEM_BUDGET_BYTES:
+def experiment_compiler_params(est_bytes: int) -> dict:
+    """pallas_call kwargs for a resident kernel with estimated per-tile
+    footprint ``est_bytes`` (the same estimate its dispatch gate uses).
+    Kernels within the round-1 no-lift bound get no compiler params — a
+    byte-identical program to the validated round-1 configuration; larger
+    kernels (admitted by the raised budget) get Mosaic's VMEM window
+    lifted along with it, else their blocks would double-buffer past the
+    default 32 MB window and fail to compile."""
+    if est_bytes <= NO_LIFT_VMEM_BYTES:
         return {}
     return {
         "compiler_params": pltpu.CompilerParams(
@@ -72,6 +79,17 @@ def riccati_vmem_bytes(T: int, n: int, m: int) -> int:
     ins = T * (nm * nm + nm + n * nm + n + 2 * m)
     outs = T * (m * n + 2 * m)
     return (ins + outs) * per_elem
+
+
+def ilqr_scratch_bytes(T: int, n: int, m: int) -> int:
+    """Extra per-tile VMEM the mega-kernel keeps beyond the Riccati I/O
+    (trajectory + gain scratch); shared by the dispatch gate
+    (mpc._would_use_fused) and the window-lift estimate."""
+    return T * (2 * n + 3 * m + m * n) * 4 * TILE_B
+
+
+def ilqr_vmem_bytes(T: int, n: int, m: int) -> int:
+    return riccati_vmem_bytes(T, n, m) + ilqr_scratch_bytes(T, n, m)
 
 
 def fits_vmem(T: int, n: int, m: int, extra: int = 0) -> bool:
@@ -520,7 +538,7 @@ def riccati_backward_pallas(
         out_specs=[spec(jax.ShapeDtypeStruct(s.shape, s.dtype)) for s in out_shapes],
         out_shape=out_shapes,
         interpret=interpret,
-        **experiment_compiler_params(),
+        **experiment_compiler_params(riccati_vmem_bytes(T, n, m)),
     )(*ins)
     K_l, k_l, free_l = outs[:3]
 

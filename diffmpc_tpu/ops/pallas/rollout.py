@@ -36,6 +36,7 @@ from .riccati import (
     _to_kernel_layout,
     experiment_compiler_params,
     read_kernel_params,
+    riccati_vmem_bytes,
     stage_kernel_params,
 )
 
@@ -291,7 +292,10 @@ def linesearch_rollout_pallas(
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
-        **experiment_compiler_params(),
+        # same footprint estimate as the resident gate in lqr_step.py
+        **experiment_compiler_params(
+            riccati_vmem_bytes(T, n, mm) + T * (2 * n + 3 * mm) * 4 * TILE_B
+        ),
     )(*ins)
 
     xs = _from_kernel_layout(xs_l)[:, :orig_B].astype(dtype)

@@ -5,9 +5,16 @@ The dispatch floor ``B >= TILE_B // 2 = 512`` (mpc._would_use_fused) was set
 as a <=2x-padding-waste policy, not a measurement: the kernel pads any B up
 to one (S, 128) tile internally (ops/pallas/ilqr.py), so a B=128 problem
 costs the same kernel time as B=1024 while the XLA path scales down. This
-measures where the crossover actually is so the floor can be lowered (or
-confirmed) from data. Interleaved same-process A/B per CLAUDE.md
-measurement discipline.
+measures where the crossover actually is. Interleaved same-process A/B per
+CLAUDE.md measurement discipline.
+
+MEASURED (2026-08-18, T=20 pendulum, single dispatch, time-shared chip):
+the fused kernel wins at EVERY batch size — fused/xla 0.74 (B=1), 0.90
+(B=4-8), 0.83-0.88 (B=16-32), 0.77 (B=64), 0.66 (B=128), 0.49 (B=256),
+0.30 (B=512), 0.17 (B=1024). Kernel time is flat (~3.5 ms single-dispatch
+incl. ~2 ms dispatch overhead) while the XLA path's T-sequential scans
+never get cheap. The floor was REMOVED on this data (mpc._would_use_fused).
+Sizes via DIFFMPC_AB_SIZES=1,4,8 env.
 """
 
 import time
@@ -28,7 +35,14 @@ def main():
     q, p = dx.get_true_obj()
     cost = QuadCost(jnp.diag(q), p)
 
-    for B in (64, 128, 256, 512, 1024):
+    import os
+
+    sizes = tuple(
+        int(s) for s in os.environ.get(
+            "DIFFMPC_AB_SIZES", "64,128,256,512,1024"
+        ).split(",")
+    )
+    for B in sizes:
         qc = _expand_cost(cost, T, B, jnp.float32)
         lo = _expand_bound(-2.0, T, B, 1, jnp.float32)
         hi = _expand_bound(2.0, T, B, 1, jnp.float32)

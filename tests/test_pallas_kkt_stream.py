@@ -104,6 +104,14 @@ def test_stream_kkt_dispatch_over_vmem_budget(monkeypatch):
         return orig(*args, **kwargs)
 
     monkeypatch.setattr(ks_mod, "kkt_backward_fused_stream", counting)
+    # pin the dispatch budget to the round-1 value so the "over both
+    # budgets" regime below stays true regardless of the production
+    # default (24 MB round 2) — the regime, not the constant, is under test
+    from diffmpc_tpu.ops.pallas import riccati as riccati_mod
+
+    monkeypatch.setattr(
+        riccati_mod, "VMEM_BUDGET_BYTES", riccati_mod.NO_LIFT_VMEM_BYTES
+    )
 
     rng = np.random.default_rng(910)
     # over BOTH budgets: the composite path would stream its Riccati here,

@@ -86,6 +86,13 @@ def test_lqr_step_dispatches_to_streaming_for_long_horizon(monkeypatch):
 
     monkeypatch.setattr(rs, "riccati_backward_pallas_stream", c_ric)
     monkeypatch.setattr(ros, "linesearch_rollout_pallas_stream", c_roll)
+    # pin the dispatch budget to the round-1 value so "past the budget"
+    # stays true under the raised round-2 default (the regime is under test)
+    from diffmpc_tpu.ops.pallas import riccati as riccati_mod
+
+    monkeypatch.setattr(
+        riccati_mod, "VMEM_BUDGET_BYTES", riccati_mod.NO_LIFT_VMEM_BYTES
+    )
 
     T, B, n, m = 80, 520, 3, 1  # T beyond the resident VMEM budget
     dx = PendulumDx.default(jnp.float32)
