@@ -615,9 +615,21 @@ def mpc_solve(
         big = jnp.asarray(1e18, dtype)
         lo_arr = lo if constrained else jnp.full((T, B, m), -big, dtype)
         hi_arr = hi if constrained else jnp.full((T, B, m), big, dtype)
-        xs, us = lqr_fixed_point(
-            spec, x_init, C_g, c_g, F_g, f_g, best_x, best_u, lo_arr, hi_arr
-        )
+        # Promote every custom_vjp primal to the UNION varying-manual-axes
+        # type of the call before entering lqr_fixed_point: under
+        # shard_map(check_vma=True) closed-over replicated operands (a
+        # shared QuadCost, scalar-expanded bounds) would otherwise enter
+        # the custom_vjp replicated-typed while the KKT backward's
+        # cotangents — all built from the batch-varying trajectory — come
+        # out varying, which strict VMA checkers reject ("bwd rule must
+        # produce an output with the same type as the args tuple").
+        # Promotion is also the correct semantics: the transpose of pvary
+        # is a cross-device psum, exactly the reduction a replicated
+        # differentiable operand needs. No-op outside a manual-axes
+        # context (match_vma).
+        fp_args = (x_init, C_g, c_g, F_g, f_g, best_x, best_u, lo_arr, hi_arr)
+        fp_args = tuple(match_vma(a, fp_args) for a in fp_args)
+        xs, us = lqr_fixed_point(spec, *fp_args)
         if config.detach_unconverged:
             keep = converged[None, :, None]
             xs = jnp.where(keep, xs, detach(xs))

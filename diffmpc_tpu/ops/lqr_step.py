@@ -71,19 +71,56 @@ class LqrSpec:
     pallas_interpret: bool = False  # Mosaic interpret mode (CPU-executable)
 
 
-def _resolve_use_pallas(use_pallas: Optional[bool]) -> bool:
+def _kind_to_platform(kind) -> Optional[str]:
+    k = str(kind).lower()
+    if "cpu" in k:
+        return "cpu"
+    if "tpu" in k:
+        return "tpu"
+    if "gpu" in k or "cuda" in k or "rocm" in k:
+        return "gpu"
+    return None
+
+
+def _auto_platform(platform_hint: Optional[str] = None) -> str:
+    """Platform of the devices ACTUALLY in the computation, best-effort.
+
+    Resolution order: (1) an explicit hint (e.g. ``mesh.devices`` platform,
+    passed by callers that hold a concrete mesh); (2) the abstract mesh in
+    the current trace context — under ``shard_map``/``use_mesh`` its
+    ``abstract_device.device_kind`` names the compile target, so a CPU mesh
+    built while a TPU backend is the process default resolves correctly;
+    (3) the process-global ``jax.default_backend()`` — only when nothing
+    device-specific is visible (plain jit onto the default device).
+    """
+    if platform_hint is not None:
+        return platform_hint
+    try:
+        am = jax.sharding.get_abstract_mesh()
+        if not am.empty:
+            p = _kind_to_platform(getattr(am.abstract_device, "device_kind", ""))
+            if p is not None:
+                return p
+    except Exception:
+        pass
+    return jax.default_backend()
+
+
+def _resolve_use_pallas(
+    use_pallas: Optional[bool], platform_hint: Optional[str] = None
+) -> bool:
     """Resolve the ``use_pallas=None`` auto mode.
 
-    Auto consults ``jax.default_backend()`` AT TRACE TIME. If you compile for
-    a non-default device (e.g. ``jit(..., device=jax.devices('cpu')[0])``
-    while a TPU backend is the default), set ``use_pallas`` explicitly in
-    :class:`diffmpc_tpu.types.MPCConfig` / :class:`LqrSpec` — auto would
-    otherwise dispatch Mosaic TPU kernels into a CPU computation and fail to
-    lower.
+    Auto resolves the target platform from the devices in the computation
+    (:func:`_auto_platform`): the mesh in context under ``shard_map``, else
+    the process default backend. The one remaining blind spot is a plain
+    ``jit`` committed to a non-default device with NO mesh — trace-time code
+    cannot see the committed device; set ``use_pallas`` explicitly in
+    :class:`diffmpc_tpu.types.MPCConfig` / :class:`LqrSpec` there.
     """
     if use_pallas is not None:
         return use_pallas
-    return jax.default_backend() not in ("cpu",)
+    return _auto_platform(platform_hint) not in ("cpu",)
 
 
 def _riccati(spec: LqrSpec, C, c, F, f, n_state, **kwargs):

@@ -199,7 +199,11 @@ def make_dp_train_step(
         # checker off, and fails to trace with it on).
         from ..ops.lqr_step import _resolve_use_pallas
 
-        check_vma = not _resolve_use_pallas(config.use_pallas)
+        # Resolve from the MESH's devices, not the process default backend:
+        # a CPU mesh built while a TPU backend is registered (e.g.
+        # JAX_PLATFORMS='cpu,axon') must take the XLA path + full checker.
+        platform = mesh.devices.flat[0].platform
+        check_vma = not _resolve_use_pallas(config.use_pallas, platform)
 
     def local_grads(params, x_init, u_expert, task=_NO_TASK):
         def loss_fn(p):

@@ -99,6 +99,45 @@ def test_fused_kkt_shape_fuzz(seed):
         )
 
 
+@pytest.mark.parametrize("B", [1, 3])
+@pytest.mark.parametrize("stream", [False, True])
+def test_fused_kkt_tiny_batch_gradient_parity(B, stream):
+    """ADVICE r2: removing the dispatch batch floor made the fused KKT
+    backward (resident AND streaming) reachable at tiny/odd B for the first
+    time — pin gradient parity vs the XLA composite backward there (the
+    kernels pad B up to a full tile; the padding rows must not contaminate
+    the real gradient rows)."""
+    rng = np.random.default_rng(820 + B)
+    T, n, m = 6, 3, 2
+    C, c, F, x_star, u_star, lo, hi, gx, gu = _random_residuals(
+        rng, T, B, n, m, n_tight=min(4, T * B * m // 2)
+    )
+    spec = LqrSpec(n_state=n, constrained=True, use_pallas=False)
+    res = (x_star[0], C, c, F, jnp.zeros((T, B, n)), x_star, u_star, lo, hi)
+    ref = _kkt_backward_impl(spec, res, (gx, gu))
+    dx_init_r, dC_r, dc_r, dF_r, df_r = ref[:5]
+
+    tight = (u_star <= lo + spec.tight_eps) | (u_star >= hi - spec.tight_eps)
+    r = jnp.concatenate([gx, jnp.where(tight, 0.0, gu)], axis=-1)
+    tau = jnp.concatenate([x_star, u_star], axis=-1)
+    if stream:
+        from diffmpc_tpu.ops.pallas.kkt_stream import kkt_backward_fused_stream
+
+        fused = kkt_backward_fused_stream
+    else:
+        fused = kkt_backward_fused
+    dx_init, dC, dc, dF, df = fused(
+        C, c, F, r, tau, tight, reg=spec.back_eps, interpret=True
+    )
+    tol = dict(rtol=3e-5, atol=3e-5)
+    msg = f"B={B} stream={stream}"
+    for got, want in ((dx_init, dx_init_r), (dc, dc_r), (dC, dC_r),
+                      (df, df_r), (dF, dF_r)):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), err_msg=msg, **tol
+        )
+
+
 def test_fused_kkt_dispatch_through_custom_vjp(monkeypatch):
     """End to end: grads through lqr_fixed_point ride the fused kernel when
     use_pallas is forced and the batch fills a tile (interpret on CPU)."""
