@@ -199,7 +199,7 @@ def lqr_step(
     # The fused Pallas line-search kernel handles quadratic costs with
     # linear or `entries_step`-fusable dynamics; anything else (callable
     # costs, opaque user models) takes the XLA ladder.
-    from .pallas.riccati import TILE_B, fits_vmem
+    from .pallas.riccati import fits_vmem, rollout_scratch_bytes
 
     T = C.shape[0]
     m = C.shape[-1] - n
@@ -208,7 +208,7 @@ def lqr_step(
         and cost_fn is None
         and (dynamics_fn is None or dyn_kernel is not None)
     )
-    resident = fusable and fits_vmem(T, n, m, extra=T * (2 * n + 3 * m) * 4 * TILE_B)
+    resident = fusable and fits_vmem(T, n, m, extra=rollout_scratch_bytes(T, n, m))
     if resident:
         from .pallas.rollout import linesearch_rollout_pallas
 

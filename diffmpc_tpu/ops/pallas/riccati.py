@@ -88,6 +88,16 @@ def ilqr_scratch_bytes(T: int, n: int, m: int) -> int:
     return T * (2 * n + 3 * m + m * n) * 4 * TILE_B
 
 
+def rollout_scratch_bytes(T: int, n: int, m: int) -> int:
+    """Extra per-tile VMEM of the standalone line-search rollout kernel
+    beyond the Riccati I/O (reference trajectory + candidate scratch).
+    ONE copy of the estimate, used by BOTH the resident-dispatch gate
+    (ops/lqr_step.py) and the kernel's own window-lift call
+    (ops/pallas/rollout.py) — these must never desynchronize: the gate
+    admits a shape, the lift sizes its Mosaic VMEM window."""
+    return T * (2 * n + 3 * m) * 4 * TILE_B
+
+
 def ilqr_vmem_bytes(T: int, n: int, m: int) -> int:
     return riccati_vmem_bytes(T, n, m) + ilqr_scratch_bytes(T, n, m)
 

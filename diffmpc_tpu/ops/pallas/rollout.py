@@ -37,6 +37,7 @@ from .riccati import (
     experiment_compiler_params,
     read_kernel_params,
     riccati_vmem_bytes,
+    rollout_scratch_bytes,
     stage_kernel_params,
 )
 
@@ -292,9 +293,10 @@ def linesearch_rollout_pallas(
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
-        # same footprint estimate as the resident gate in lqr_step.py
+        # same footprint estimate as the resident gate in lqr_step.py —
+        # one shared helper so gate and window lift cannot desynchronize
         **experiment_compiler_params(
-            riccati_vmem_bytes(T, n, mm) + T * (2 * n + 3 * mm) * 4 * TILE_B
+            riccati_vmem_bytes(T, n, mm) + rollout_scratch_bytes(T, n, mm)
         ),
     )(*ins)
 

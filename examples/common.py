@@ -1,6 +1,19 @@
-"""Shared helpers for the imitation-learning example CLIs (ref C8)."""
+"""Shared helpers for the imitation-learning example CLIs (ref C8).
+
+Importing this module ALSO bootstraps ``sys.path`` so the examples run from
+a clean shell (``python examples/il_pendulum.py ...``) without an installed
+package or a manually exported PYTHONPATH — every example imports ``common``
+before ``diffmpc_tpu`` for exactly this reason (VERDICT r2 weak item #4).
+"""
 
 from __future__ import annotations
+
+import os
+import sys
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 import numpy as np
 import jax

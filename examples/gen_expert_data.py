@@ -11,6 +11,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import common  # noqa: F401,E402 — sys.path bootstrap (run examples from a clean shell)
 from diffmpc_tpu import MPCConfig, QuadCost
 from diffmpc_tpu.models import CartpoleDx, PendulumDx
 from diffmpc_tpu.parallel import generate_expert_data

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import common  # noqa: F401,E402 — sys.path bootstrap (run examples from a clean shell)
 from diffmpc_tpu import MPCConfig, QuadCost
 from diffmpc_tpu.checkpoint import latest_step, restore_checkpoint, save_checkpoint
 from diffmpc_tpu.models import QuadrotorDx

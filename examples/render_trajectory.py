@@ -12,6 +12,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import common  # noqa: F401,E402 — sys.path bootstrap (run examples from a clean shell)
 from diffmpc_tpu import MPCConfig, QuadCost, run_receding_horizon
 from diffmpc_tpu.models import CartpoleDx, PendulumDx, QuadrotorDx
 

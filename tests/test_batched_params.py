@@ -107,9 +107,9 @@ def test_per_scenario_gradients_match_group_grads():
 
 
 def test_fused_kernel_batched_params_matches_xla():
-    # B >= TILE_B // 2 so the mega-kernel genuinely dispatches (below that
-    # use_pallas silently takes the XLA path and the comparison is vacuous);
-    # interpret cost is B-independent up to the 1024-lane tile.
+    # B=512: no dispatch requirement (the floor was removed 2026-08-18);
+    # interpret cost is B-independent up to the 1024-lane tile, so a full
+    # half-tile costs the same as tiny B and exercises realistic padding.
     B, T = 512, 8
     dx, cost, x_init = _problem(B, T)
     params_b, _ = _two_group_params(dx, B)
@@ -142,7 +142,7 @@ def test_fused_kernel_batched_params_matches_xla():
 
 
 def test_fused_kernel_batched_params_gradients():
-    B, T = 512, 8  # >= TILE_B // 2: fused forward + fused KKT backward engage
+    B, T = 512, 8  # interpret cost is ~flat to the 1024-lane tile (inputs pad)
     dx, cost, x_init = _problem(B, T)
     params_b, _ = _two_group_params(dx, B)
     config_p = MPCConfig(
@@ -289,7 +289,7 @@ def test_cartpole_fused_batched_params_matches_xla():
     """Per-scenario params on the SECOND env family (n=5 cartpole — its
     entries_step linearizes via in-kernel jvp, so the (S, 128) params tiles
     must broadcast through that too)."""
-    B, T = 512, 8  # >= TILE_B // 2 so the mega-kernel genuinely dispatches
+    B, T = 512, 8  # interpret cost is ~flat to the 1024-lane tile (inputs pad)
     cp = CartpoleDx.default(jnp.float32)
     qc, pc = cp.get_true_obj()
     cost = QuadCost(jnp.diag(qc), pc)

@@ -112,7 +112,7 @@ def test_mpc_solve_dispatches_to_fused(monkeypatch):
 
     monkeypatch.setattr(ilqr_mod, "ilqr_solve_fused", counting)
 
-    B, T = 520, 5  # >= TILE_B // 2
+    B, T = 520, 5  # >1 tile-half exercises padding; interpret cost ~flat in B
     dx, C, c, x_init, lo, hi = _pendulum_problem(B, T)
     config = MPCConfig(
         n_state=3, n_ctrl=1, T=T, lqr_iter=2, exit_unconverged=False,
@@ -367,7 +367,7 @@ def test_vmap_over_instances_fused_path():
     Verified on real TPU hardware as well (fwd + grad through the fused KKT
     backward); this pins the interpret-mode semantics.
     """
-    B, T = 512, 8  # >= TILE_B // 2 so the mega-kernel genuinely dispatches
+    B, T = 512, 8  # interpret cost is ~flat to the 1024-lane tile (inputs pad)
     dx, C, c, x_init, _, _ = _pendulum_problem(B, T)
     config = MPCConfig(
         n_state=3, n_ctrl=1, T=T, lqr_iter=4, exit_unconverged=False,
@@ -408,7 +408,7 @@ def test_vmap_over_instances_fused_path():
 def test_u_zero_I_on_fused_path(monkeypatch):
     """u_zero_I realizes as the degenerate box lo = hi = 0 — the in-kernel
     pnqp must hold those dims at exactly zero through the mega-kernel
-    (B >= TILE_B // 2 so the kernel genuinely dispatches)."""
+    (any B dispatches since the 2026-08-18 floor removal; 512 pads one tile)."""
     from diffmpc_tpu.models import NNDynamics
     import diffmpc_tpu.ops.pallas.ilqr as ilqr_mod
 
@@ -465,7 +465,7 @@ def test_slew_penalty_rides_fused_path(monkeypatch):
 
     monkeypatch.setattr(ilqr_mod, "ilqr_solve_fused", counting)
 
-    B, T = 520, 5  # >= TILE_B // 2 so the kernel genuinely dispatches
+    B, T = 520, 5  # odd B exercises tile padding; interpret cost ~flat in B
     dx, C, c, x_init, _, _ = _pendulum_problem(B, T)
     prev_u = jnp.full((B, 1), 0.5, jnp.float32)
     kw = dict(u_lower=-2.0, u_upper=2.0, prev_ctrl=prev_u)

@@ -137,3 +137,62 @@ def test_fused_solve_shard_map_real_tpu():
     )(x_init)
     np.testing.assert_allclose(np.asarray(sharded[1]), np.asarray(ref[1]), atol=1e-5)
     np.testing.assert_allclose(np.asarray(sharded[2]), np.asarray(ref[2]), rtol=1e-5)
+
+
+def test_pallas_under_check_vma_true_jax_limitation():
+    """VERDICT r2 #8 follow-through: pallas_call under
+    ``shard_map(check_vma=True)`` — pinned as a JAX limitation, not a
+    library bug, by a STRICT xfail: the day an installed JAX types this
+    correctly, this test FAILS (xpass) and the ``check_vma=False``
+    requirement in parallel/training.py + __graft_entry__ phase 2 must be
+    revisited.
+
+    Root cause (minimal form below): inside a kernel body, a
+    dynamically-indexed ref read mixes the batch-VARYING ref data with the
+    REPLICATED loop index, and jax<=0.9's ``dynamic_slice`` VMA rule
+    requires them to match — JAX's own error message says "Please open an
+    issue ... as a temporary workaround pass the check_vma=False argument".
+    There is no pvary/pcast lowering in Mosaic either, so in-kernel
+    promotion is not available. vma-typed out_shapes (ops/pallas/
+    riccati.out_struct) solve the OUTPUT typing; the body typing is JAX's.
+    """
+    from jax.experimental import pallas as pl
+
+    mesh = make_mesh(jax.devices("cpu")[:8])
+
+    def kern(x_ref, o_ref):
+        def body(i, c):
+            return c + x_ref[i]  # dynamic-index read: varying ref, replicated i
+
+        o_ref[...] = jnp.broadcast_to(
+            jax.lax.fori_loop(0, 3, body, x_ref[0]), o_ref.shape
+        )
+
+    def f(x):
+        out_shape = jax.ShapeDtypeStruct(
+            x.shape, x.dtype, vma=frozenset({BATCH_AXIS})
+        )
+        return pl.pallas_call(kern, out_shape=out_shape, interpret=True)(x)
+
+    g = jax.jit(
+        jax.shard_map(
+            f, mesh=mesh, in_specs=(P(BATCH_AXIS),), out_specs=P(BATCH_AXIS),
+            check_vma=True,
+        )
+    )
+    try:
+        out = g(jnp.arange(16.0, dtype=jnp.float32))
+        jax.block_until_ready(out)
+    except Exception as e:
+        assert "varying manual axes" in str(e) or "vma" in str(e).lower(), (
+            f"pallas-under-check_vma failed with an UNEXPECTED error class "
+            f"(not VMA typing): {e}"
+        )
+        return  # expected failure mode on jax <= 0.9
+    pytest.fail(
+        "pallas_call body with dynamic-index ref reads now TYPES under "
+        "shard_map(check_vma=True) on this JAX "
+        f"({jax.__version__}) — revisit the check_vma=False requirement in "
+        "parallel/training.py (auto mode), __graft_entry__.dryrun_multichip "
+        "phase 2, and ops/assoc_riccati.py."
+    )

@@ -91,7 +91,7 @@ def test_mpc_stabilizes_to_hover():
 
 def test_fused_kernel_matches_xla():
     """m=2 in-kernel pnqp on a real nonlinear model (interpret mode).
-    B >= TILE_B // 2 so the mega-kernel genuinely dispatches (interpret
+    B=512 costs the same as tiny B in interpret (inputs pad to the tile;
     cost is B-independent up to the 1024-lane tile)."""
     B, T = 512, 8
     dx, cost, config = _setup(T, B, lqr_iter=4, eps=0.0, not_improved_lim=10**6)
