@@ -16,7 +16,7 @@ import numpy as np
 BASELINE_SOLVES_PER_S = 10_000.0
 # Soft wall-clock budget for the secondary metrics below (each one costs a
 # remote compile); whatever does not fit is skipped, never the primary line.
-SECONDARY_BUDGET_S = 330.0
+SECONDARY_BUDGET_S = 600.0
 
 
 
@@ -29,6 +29,22 @@ def best_of(loops, fn_timed):
 
 def main():
     t_start = time.perf_counter()
+    import os
+
+    import jax as _jax_cfg
+
+    try:
+        # Persistent compilation cache: under tunnel contention a single
+        # mpc_solve compile has been observed at 400+ s; cache hits cut
+        # repeat bench runs to the measurement time. Keyed by HLO hash, so
+        # solver changes miss naturally (never stale).
+        _jax_cfg.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+        )
+        _jax_cfg.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # pragma: no cover - older jax without the knobs
+        pass
     from diffmpc_tpu import mpc_solve
     from __graft_entry__ import _pendulum_setup, _x_init
 
@@ -72,6 +88,43 @@ def main():
     solves_per_s = n_timed * n_sets * B / best_of(12, _t_primary)
     objs, conv = objs[0], conv[0]
 
+    # Warm-start throughput (the receding-horizon deployment pattern) is
+    # part of the headline line (VERDICT r2 #5: the tracked metric must be
+    # self-describing — throughput next to convergence and the deployment-
+    # pattern figure, so it cannot silently trade one for the other).
+    # Budget-guarded: one extra remote compile (~30 s); if the chip or the
+    # tunnel is slow today we print the line without it rather than risk
+    # the harness timing out the primary result.
+    warm_start_solves_per_s = None
+    try:
+        if time.perf_counter() - t_start < 420.0:
+            u_warm = jnp.roll(us[0], -1, axis=0)
+
+            @jax.jit
+            def solve_warm_many(xs, u):
+                def one(x):
+                    sol = mpc_solve(
+                        config, x, cost, dx, u_init=u,
+                        u_lower=-2.0, u_upper=2.0,
+                    )
+                    return sol.objs
+                return jax.lax.map(one, xs)
+
+            jax.block_until_ready(solve_warm_many(xs_stack, u_warm))
+
+            def _t_warm():
+                t0 = time.perf_counter()
+                for _ in range(n_timed):
+                    r = solve_warm_many(xs_stack, u_warm)
+                jax.block_until_ready(r)
+                return time.perf_counter() - t0
+
+            warm_start_solves_per_s = round(
+                n_timed * n_sets * B / best_of(3, _t_warm), 1
+            )
+    except Exception:  # pragma: no cover - never block the primary line
+        pass
+
     # The driver-required JSON line goes out FIRST: the secondary metrics
     # below trigger additional (slow, remote) compiles and must not be able
     # to swallow the primary result if the harness times the run out.
@@ -82,6 +135,8 @@ def main():
                 "value": round(solves_per_s, 1),
                 "unit": "solves/s",
                 "vs_baseline": round(solves_per_s / BASELINE_SOLVES_PER_S, 3),
+                "converged_frac": round(float(jnp.mean(conv)), 4),
+                "warm_start_solves_per_s": warm_start_solves_per_s,
             }
         )
     )
@@ -162,39 +217,74 @@ def main():
     except Exception as e:  # pragma: no cover - secondary metrics best-effort
         details["secondary_error"] = repr(e)
 
+    def flush():
+        # incremental: a harness kill or budget cut must never lose the
+        # blocks already measured (contended-chip runs can take >2x normal)
+        with open("BENCH_DETAILS.json", "w") as fh:
+            json.dump(details, fh, indent=1)
+
+    flush()
+
     def budget_left():
+        flush()
         return time.perf_counter() - t_start < SECONDARY_BUDGET_S
 
     # Warm-start throughput (the receding-horizon deployment pattern —
-    # round 2: u_init rides the mega-kernel).
+    # round 2: u_init rides the mega-kernel). Measured above, pre-headline.
+    if warm_start_solves_per_s is not None:
+        details["warm_start_solves_per_s"] = warm_start_solves_per_s
+
+    # Eval-config-5 shape (BASELINE.md row 3): one 65,536-scenario ensemble
+    # dispatch — the multi-host-shard shape. Tracked every round so a
+    # regression at the scale shape cannot hide behind the B=1024 headline
+    # (VERDICT r2 #4). Forward and solve+grad both.
     try:
         if budget_left():
-            u_warm = jnp.roll(us[0], -1, axis=0)
+            B_ens = 65_536
+            x_ens = _x_init(B_ens, seed=21)
 
             @jax.jit
-            def solve_warm_many(xs, u):
-                def one(x):
-                    sol = mpc_solve(
-                        config, x, cost, dx, u_init=u,
-                        u_lower=-2.0, u_upper=2.0,
-                    )
-                    return sol.objs
-                return jax.lax.map(one, xs)
+            def solve_ens(x):
+                sol = mpc_solve(
+                    config, x, cost, dx, u_lower=-2.0, u_upper=2.0
+                )
+                return sol.objs
 
-            jax.block_until_ready(solve_warm_many(xs_stack, u_warm))
+            jax.block_until_ready(solve_ens(x_ens))
 
-            def _t_warm():
+            def _t_ens():
                 t0 = time.perf_counter()
-                for _ in range(n_timed):
-                    r = solve_warm_many(xs_stack, u_warm)
+                for _ in range(3):
+                    r = solve_ens(x_ens)
                 jax.block_until_ready(r)
                 return time.perf_counter() - t0
 
-            details["warm_start_solves_per_s"] = round(
-                n_timed * n_sets * B / best_of(3, _t_warm), 1
+            details["ensemble_solves_per_s_B65536"] = round(
+                3 * B_ens / best_of(3, _t_ens), 1
+            )
+
+            def ens_loss(params, x):
+                sol = mpc_solve(
+                    config, x, cost, dx.replace(params=params),
+                    u_lower=-2.0, u_upper=2.0,
+                )
+                return jnp.mean(sol.us**2)
+
+            grad_ens = jax.jit(jax.grad(ens_loss))
+            jax.block_until_ready(grad_ens(dx.params, x_ens))
+
+            def _t_ens_g():
+                t0 = time.perf_counter()
+                for _ in range(3):
+                    r = grad_ens(dx.params, x_ens)
+                jax.block_until_ready(r)
+                return time.perf_counter() - t0
+
+            details["ensemble_solve_plus_grad_per_s_B65536"] = round(
+                3 * B_ens / best_of(3, _t_ens_g), 1
             )
     except Exception as e:  # pragma: no cover
-        details["warm_start_error"] = repr(e)
+        details["ensemble_error"] = repr(e)
 
     # Cartpole (eval-config-4 shape): n=5 fused solve at B=4096.
     try:
@@ -349,8 +439,62 @@ def main():
     except Exception as e:  # pragma: no cover
         details["quadrotor_error"] = repr(e)
 
-    with open("BENCH_DETAILS.json", "w") as fh:
-        json.dump(details, fh, indent=1)
+    # Roofline (VERDICT r2 #3): the measured mega-kernel iteration slope
+    # against the hardware floor. The floor is derived in
+    # scripts/roofline.py: ONE iLQR iteration of the bench problem is
+    # 111,986 HLO flops/scenario (XLA cost_analysis of the library's own
+    # XLA path with every scan unrolled — linearize + Riccati(+pnqp) +
+    # 10-alpha ladder + replay); TPU v5e VPU peak = 8*128 lanes * 4 ALUs *
+    # 0.94 GHz = 3.85e12 op/s (7.7e12 FLOP/s if every op were an FMA).
+    # Re-derive after solver-math changes and update the constant.
+    ROOFLINE_FLOPS_PER_SCENARIO_ITER = 111_986.0
+    ROOFLINE_VPU_OPS_PER_S = 3.85e12
+    try:
+        if budget_left():
+            from diffmpc_tpu.mpc import _expand_cost as _ec
+            from diffmpc_tpu.ops.pallas.ilqr import ilqr_solve_fused
+
+            qc_r = _ec(cost, T, B, jnp.float32)
+            lo_r = jnp.full((T, B, 1), -2.0, jnp.float32)
+            hi_r = jnp.full((T, B, 1), 2.0, jnp.float32)
+            x_r = xs_stack[0]
+
+            def make_iter(k):
+                @jax.jit
+                def f(xi):
+                    fr = ilqr_solve_fused(
+                        xi, qc_r.C, qc_r.c, dx, lo_r, hi_r,
+                        lqr_iter=k, pnqp_iter=8, reg=1e-7,
+                        decay=config.linesearch_decay,
+                        max_linesearch_iter=config.max_linesearch_iter,
+                        eps=0.0,  # no early exit: every iteration runs
+                        not_improved_lim=10**6,
+                    )
+                    return fr.us
+                return f
+
+            fns = {k: make_iter(k) for k in (4, 12)}
+            for f_ in fns.values():
+                jax.block_until_ready(f_(x_r))
+            best_k = {k: float("inf") for k in fns}
+            for _ in range(6):
+                for k, f_ in fns.items():  # strict alternation
+                    t0 = time.perf_counter()
+                    for _ in range(20):
+                        r = f_(x_r)
+                    jax.block_until_ready(r)
+                    best_k[k] = min(best_k[k], (time.perf_counter() - t0) / 20)
+            slope_s = (best_k[12] - best_k[4]) / 8
+            floor_s = (
+                ROOFLINE_FLOPS_PER_SCENARIO_ITER * B / ROOFLINE_VPU_OPS_PER_S
+            )
+            details["iteration_slope_ms"] = round(slope_s * 1e3, 4)
+            details["roofline_floor_ms"] = round(floor_s * 1e3, 4)
+            details["roofline_frac"] = round(floor_s / slope_s, 4)
+    except Exception as e:  # pragma: no cover
+        details["roofline_error"] = repr(e)
+
+    flush()
 
 
 if __name__ == "__main__":

@@ -131,11 +131,14 @@ def _build_elements(C, c, F, f, n, *, reg, zero_last=True):
     return (A_el, b_el, C_el, eta_el, J_el)
 
 
-def _identity_element(B, n, dtype):
-    """Neutral element of :func:`_combine` (A=I, everything else 0)."""
-    eye = jnp.broadcast_to(jnp.eye(n, dtype=dtype), (B, n, n))
-    z_nn = jnp.zeros((B, n, n), dtype)
-    z_n = jnp.zeros((B, n), dtype)
+def _identity_element(batch, n, dtype):
+    """Neutral element of :func:`_combine` (A=I, everything else 0).
+    ``batch``: int ``B`` or a tuple of leading batch dims (e.g. ``(D, B)``
+    for the blocked formulation)."""
+    bshape = (batch,) if isinstance(batch, int) else tuple(batch)
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=dtype), bshape + (n, n))
+    z_nn = jnp.zeros(bshape + (n, n), dtype)
+    z_n = jnp.zeros(bshape + (n,), dtype)
     return (eye, z_n, z_nn, z_n, z_nn)
 
 
@@ -184,6 +187,92 @@ def riccati_backward_assoc(
     # V_{t+1}, v_{t+1} sequences (zero at t = T-1)
     V_next = jnp.concatenate([J_c[1:], jnp.zeros((1, B, n, n), dtype)], axis=0)
     v_next = jnp.concatenate([-eta_c[1:], jnp.zeros((1, B, n), dtype)], axis=0)
+
+    K, k = _gains_from_value(C, c, F, f, V_next, v_next, n, reg)
+    free = jnp.ones((T, B, m), dtype=bool)
+    return RiccatiResult(K, k, free, jnp.zeros((T, B), jnp.int32))
+
+
+def riccati_backward_blocked(
+    C: jnp.ndarray,
+    c: jnp.ndarray,
+    F: jnp.ndarray,
+    f: Optional[jnp.ndarray],
+    n_state: int,
+    *,
+    n_blocks: int,
+    reg: float = 1e-9,
+) -> RiccatiResult:
+    """Single-chip blocked parallel-in-time Riccati (SURVEY.md §5.7) — the
+    SAME blocked suffix-scan arithmetic :func:`riccati_backward_time_sharded`
+    distributes over a ``('time',)`` mesh, run on one device with the block
+    axis as a batch dimension. Sequential depth drops from ``T`` to
+    ``T/D + D`` while every scan step works on a ``(D, B)``-wide batch, so
+    it wins exactly where the chip is depth-bound (long horizon, small
+    ``B``): a T=8192 recursion at B=8 runs 64 combines wide instead of one.
+
+    This is also the hardware ground truth for the time-sharded path: on a
+    real pod each device executes one block's column of this computation
+    plus an ``all_gather`` of D tiny elements, so the single-chip blocked
+    time measured here bounds the per-device critical path from above
+    (VERDICT r2 #7 — measured on TPU by scripts/ab_time_sharded.py).
+
+    Contract matches :func:`riccati_backward_assoc` (unconstrained only —
+    active box sets couple steps non-associatively). ``T`` must be
+    divisible by ``n_blocks``.
+    """
+    n = n_state
+    T, B, nm = C.shape[0], C.shape[1], C.shape[-1]
+    m = nm - n
+    dtype = C.dtype
+    if f is None:
+        f = jnp.zeros((T, B, n), dtype)
+    D = n_blocks
+    if T % D != 0:
+        raise ValueError(f"T={T} must be divisible by n_blocks={D}")
+    L = T // D
+
+    tree = jax.tree_util.tree_map
+    elems = _build_elements(C, c, F, f, n, reg=reg)
+    # (T, B, ...) -> (L, D, B, ...): block i owns t in [i*L, (i+1)*L)
+    blk = tree(
+        lambda e: e.reshape(D, L, *e.shape[1:]).swapaxes(0, 1), elems
+    )
+
+    def step(carry, e):
+        comb = _combine(e, carry)
+        return comb, comb
+
+    # 1. local suffix composition, all D blocks as one batch:
+    #    seq[l, i] = e_{iL+l} o ... o e_{(i+1)L-1}
+    total, seq = jax.lax.scan(
+        step, _identity_element((D, B), n, dtype), blk, reverse=True
+    )
+
+    # 2. suffix-compose the D block totals (the only depth-D part)
+    _, rights = jax.lax.scan(
+        step, _identity_element(B, n, dtype), total, reverse=True
+    )
+    ident = _identity_element(B, n, dtype)
+    rights_excl = tree(
+        lambda r, i: jnp.concatenate([r[1:], i[None]], axis=0), rights, ident
+    )
+
+    # 3. one fully batched boundary combine: glob[l, i] = seq[l, i] o
+    #    (blocks i+1..D-1 total)
+    right_b = tree(
+        lambda r: jnp.broadcast_to(r[None], (L,) + r.shape), rights_excl
+    )
+    glob = _combine(seq, right_b)
+    _, _, _, eta_g, J_g = glob
+    _, _, _, eta_r, J_r = rights_excl
+
+    # V_{t+1} per (l, i): within-block successor, or the right-neighbor
+    # boundary value for the block-final step
+    V_next = jnp.concatenate([J_g[1:], J_r[None]], axis=0)
+    v_next = jnp.concatenate([-eta_g[1:], -eta_r[None]], axis=0)
+    V_next = V_next.swapaxes(0, 1).reshape(T, B, n, n)
+    v_next = v_next.swapaxes(0, 1).reshape(T, B, n)
 
     K, k = _gains_from_value(C, c, F, f, V_next, v_next, n, reg)
     free = jnp.ones((T, B, m), dtype=bool)

@@ -3,11 +3,11 @@ XLA path — the m>1 in-kernel pnqp on a real model at production batch.
 
 Same-process interleaved timing (CLAUDE.md measurement discipline).
 
-At the default VMEM budget the nm=8 problem does NOT fit the resident
-mega-kernel (riccati_vmem_bytes(20,6,2) ~ 12 MB > 10 MB), so use_pallas
-engages only the streaming kernels; run with DIFFMPC_VMEM_BUDGET_MB=24
-to put the pallas side on the full mega-kernel (experiment knob, see
-ops/pallas/riccati.py).
+Since round 2 the DEFAULT budget is 24 MB, so the nm=8 problem
+(riccati_vmem_bytes(20,6,2) ~ 12 MB) rides the resident mega-kernel as-is
+— this script's hardware win is WHY the default was raised. Run with
+DIFFMPC_VMEM_BUDGET_MB=10 to reproduce the old streaming-kernel dispatch
+(experiment knob, see ops/pallas/riccati.py).
 """
 
 import dataclasses

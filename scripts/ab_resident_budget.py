@@ -63,7 +63,9 @@ def main():
         )
         return solve, out, fused
 
-    solve_s, out_s, fused_s = make(10)
+    # streaming variant pinned at the no-lift bound (NOT a magic 10: this is
+    # riccati.NO_LIFT_VMEM_BYTES, the round-1 default budget)
+    solve_s, out_s, fused_s = make(riccati.NO_LIFT_VMEM_BYTES // (1024 * 1024))
     solve_r, out_r, fused_r = make(40)
     assert not fused_s and fused_r, (fused_s, fused_r)
     riccati.VMEM_BUDGET_BYTES = riccati.DEFAULT_VMEM_BUDGET_BYTES

@@ -35,6 +35,37 @@ def test_assoc_solution_matches_dense_kkt():
     np.testing.assert_allclose(np.asarray(xs), xs_o, atol=1e-7)
 
 
+@pytest.mark.parametrize(
+    "T,n,m,D", [(16, 3, 1, 4), (64, 3, 2, 8), (120, 2, 1, 12), (32, 4, 2, 32)]
+)
+def test_blocked_matches_sequential(T, n, m, D):
+    """Single-chip blocked parallel-in-time Riccati (same arithmetic the
+    time-sharded mesh path distributes; VERDICT r2 #7) == sequential scan.
+    D=T (every block one step) exercises the degenerate all-combine edge."""
+    from diffmpc_tpu.ops.assoc_riccati import riccati_backward_blocked
+
+    rng = np.random.default_rng(600 + T)
+    B = 4
+    C, c, F, f, x_init = random_lqr_problem(rng, T, B, n, m)
+    Cj, cj, Fj, fj = map(jnp.asarray, (C, c, F, f))
+    seq = riccati_backward(Cj, cj, Fj, fj, n)
+    par = riccati_backward_blocked(Cj, cj, Fj, fj, n, n_blocks=D)
+    np.testing.assert_allclose(np.asarray(par.K), np.asarray(seq.K), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(par.k), np.asarray(seq.k), atol=1e-8)
+
+
+def test_blocked_requires_divisible_horizon():
+    from diffmpc_tpu.ops.assoc_riccati import riccati_backward_blocked
+
+    rng = np.random.default_rng(601)
+    C, c, F, f, _ = random_lqr_problem(rng, 10, 2, 3, 1)
+    with pytest.raises(ValueError, match="divisible"):
+        riccati_backward_blocked(
+            jnp.asarray(C), jnp.asarray(c), jnp.asarray(F), jnp.asarray(f),
+            3, n_blocks=4,
+        )
+
+
 @pytest.mark.parametrize("T,n,m", [(16, 3, 1), (64, 3, 2), (120, 2, 1)])
 def test_time_sharded_matches_sequential(T, n, m):
     """VERDICT r1 #7: the horizon-sharded deployment of the associative

@@ -118,6 +118,62 @@ def test_scaling_batch_shards_evenly():
     assert len(sol.xs.sharding.device_set) == 8
 
 
+def test_dp_train_step_config5_ensemble_shape():
+    """Driver eval config 5 (BASELINE.md row 3: the 65,536-scenario
+    domain-randomized ensemble), scaled down per-device for the virtual
+    mesh: T=20 horizon, per-scenario physics params (``params_batch_axes=0``)
+    sharded with the batch over all 8 devices, B_global=512 (64/device —
+    the same per-device SHAPE class as 65k/8 on a real pod, smaller only in
+    the tile count). Pins the exact composition the scale shape exercises:
+    sharded per-scenario param rows + replicated optimizer + pmean'd stats.
+    VERDICT r2 #4."""
+    dtype = jnp.float32
+    B, T = 512, 20
+    dx = PendulumDx.default(dtype)
+    q, p = dx.get_true_obj()
+    cost = QuadCost(jnp.diag(q), p)
+    config = MPCConfig(
+        n_state=3, n_ctrl=1, T=T, lqr_iter=3, eps=1e-5,
+        exit_unconverged=False, detach_unconverged=False, dtype=dtype,
+    )
+    rng = np.random.default_rng(53)
+    th = rng.uniform(-np.pi, np.pi, B)
+    thdot = rng.uniform(-1, 1, B)
+    x_init = jnp.asarray(np.stack([np.cos(th), np.sin(th), thdot], -1), dtype)
+    u_expert = jnp.zeros((T, B, 1), dtype)
+    # per-scenario (g, m, l) ensemble — each scenario learns its own physics
+    base = np.asarray(dx.params, np.float32)
+    params_b = jnp.asarray(
+        base[None, :] * (1.0 + 0.05 * rng.standard_normal((B, base.size))),
+        dtype,
+    )
+
+    def make_problem(params):
+        return cost, dx.replace(params=params)
+
+    opt = optax.sgd(1e-2)
+    mesh = make_mesh()
+    step_1 = make_dp_train_step(
+        config, make_problem, opt, None, -2.0, 2.0, params_batch_axes=0
+    )
+    step_n = make_dp_train_step(
+        config, make_problem, opt, mesh, -2.0, 2.0, params_batch_axes=0
+    )
+
+    s0 = init_train_state(params_b, opt)
+    s0_n = init_train_state(shard_batch(mesh, params_b, 0), opt)
+    s1, st1 = step_1(s0, x_init, u_expert)
+    sn, stn = step_n(
+        s0_n, shard_batch(mesh, x_init, 0), shard_batch(mesh, u_expert, 1)
+    )
+    np.testing.assert_allclose(float(stn.loss), float(st1.loss), rtol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(sn.params), np.asarray(s1.params), rtol=1e-3, atol=1e-4
+    )
+    # param rows stay sharded across all 8 devices (they scale with B)
+    assert len(sn.params.sharding.device_set) == 8
+
+
 def test_dp_train_step_f32_realistic_regime():
     """VERDICT r1 #6: the realistic configuration — f32, default eps,
     finite not_improved_lim, check_vma=True (training.py) — agrees between
