@@ -29,8 +29,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..lqr import RiccatiResult
 
+import os as _os
+
 LANE = 128
-SUBLANE = 8
+# DIFFMPC_SUBLANE is an EXPERIMENT knob (scripts/ab_sublane.py): 8 = one
+# (8,128) vreg per entry-op (default); 16/32 = 2/4 vregs back-to-back per
+# op — independent scenario groups that amortize per-op issue latency and
+# per-step scalar-core loop overhead at the cost of 2x/4x VMEM per tile.
+SUBLANE = int(_os.environ.get("DIFFMPC_SUBLANE", "8"))
 TILE_B = LANE * SUBLANE  # scenarios per kernel instance
 
 # Per-instance VMEM budget for kernel inputs+outputs; beyond this the
@@ -46,8 +52,6 @@ TILE_B = LANE * SUBLANE  # scenarios per kernel instance
 # scripts/ab_resident_budget.py — at the cost of admitting unvalidated
 # nearby shapes; compile failure, not silent corruption, is the failure
 # mode past the real VMEM).
-import os as _os
-
 NO_LIFT_VMEM_BYTES = 10 * 1024 * 1024
 DEFAULT_VMEM_BUDGET_BYTES = 24 * 1024 * 1024
 VMEM_BUDGET_BYTES = (

@@ -1,0 +1,118 @@
+"""A/B on real TPU: entry-tile height (DIFFMPC_SUBLANE) for the fused iLQR.
+
+Hypothesis (roofline work, round 3): at SUBLANE=8 every entry-op is exactly
+one (8,128) vreg over 1024 scenarios, and the measured ~0.107 vreg-ops/cycle
+says the kernel is dominated by per-op issue/latency + per-step scalar-core
+loop overhead, not ALU throughput. SUBLANE=16 makes each entry-op two
+independent vregs (2048 scenarios/tile): same scalar work, 2x vector work
+per op — up to 2x if the overhead hypothesis is right, ~1x if the VPU is
+already saturated.
+
+TILE height is bound at import (kernel shapes), so variants run as child
+processes, ALTERNATED parent-side across rounds with per-variant minima —
+the cross-process analog of the same-process interleaving discipline
+(CLAUDE.md): contention bursts hit both variants equally in expectation and
+minima discard them.
+
+Usage: python scripts/ab_sublane.py            (parent; ~5-10 min)
+       python scripts/ab_sublane.py --child    (internal)
+
+RESULT: recorded in docs/DESIGN.md (run this script to reproduce).
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+ROUNDS = 4
+SUBLANES = (8, 16)
+
+
+def child():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _pendulum_setup, _x_init
+    from diffmpc_tpu.mpc import _expand_cost
+    from diffmpc_tpu.ops.pallas.ilqr import ilqr_solve_fused
+    from diffmpc_tpu.ops.pallas.riccati import SUBLANE
+
+    T = 20
+    config, cost, dx = _pendulum_setup(T=T)
+    out = {"sublane": SUBLANE}
+
+    def make(B, eps):
+        qc = _expand_cost(cost, T, B, jnp.float32)
+        lo = jnp.full((T, B, 1), -2.0, jnp.float32)
+        hi = jnp.full((T, B, 1), 2.0, jnp.float32)
+        x = _x_init(B, seed=3)
+
+        @jax.jit
+        def f(xi):
+            return ilqr_solve_fused(
+                xi, qc.C, qc.c, dx, lo, hi,
+                lqr_iter=10, pnqp_iter=8, reg=1e-7,
+                decay=config.linesearch_decay,
+                max_linesearch_iter=config.max_linesearch_iter,
+                eps=eps,
+                not_improved_lim=10**6 if eps == 0.0 else 5,
+            ).us
+        return f, x
+
+    cases = {
+        "B2048": make(2048, 1e-5),
+        "B2048_eps0": make(2048, 0.0),
+        "B65536": make(65536, 1e-5),
+    }
+    for name, (f, x) in cases.items():
+        jax.block_until_ready(f(x))  # compile
+        calls = 20 if "65536" not in name else 3
+        best = float("inf")
+        for _ in range(4):
+            t0 = time.perf_counter()
+            for _ in range(calls):
+                r = f(x)
+            jax.block_until_ready(r)
+            best = min(best, (time.perf_counter() - t0) / calls)
+        out[name + "_ms"] = round(best * 1e3, 4)
+    print("CHILD_RESULT " + json.dumps(out), flush=True)
+
+
+def main():
+    best = {s: {} for s in SUBLANES}
+    for rnd in range(ROUNDS):
+        for s in SUBLANES:  # alternate variants per round
+            env = dict(os.environ)
+            env["DIFFMPC_SUBLANE"] = str(s)
+            env.setdefault("JAX_COMPILATION_CACHE_DIR", f"{_REPO}/.jax_cache")
+            res = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child"],
+                env=env, capture_output=True, text=True, timeout=1500,
+            )
+            line = [l for l in res.stdout.splitlines() if l.startswith("CHILD_RESULT")]
+            if not line:
+                print(f"round {rnd} sublane {s} FAILED:\n{res.stderr[-1500:]}")
+                sys.exit(1)
+            d = json.loads(line[0][len("CHILD_RESULT "):])
+            for k, v in d.items():
+                if k.endswith("_ms"):
+                    best[s][k] = min(best[s].get(k, float("inf")), v)
+            print(f"round {rnd} sublane {s}: {d}", flush=True)
+    print("\nbest-of-rounds (ms/call):")
+    for k in sorted(best[8]):
+        r = best[8][k] / best[16][k]
+        print(f"  {k:<14} S8 {best[8][k]:8.3f}  S16 {best[16][k]:8.3f}  "
+              f"S16 speedup {r:5.2f}x")
+
+
+if __name__ == "__main__":
+    if "--child" in sys.argv:
+        child()
+    else:
+        main()
