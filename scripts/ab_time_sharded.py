@@ -14,7 +14,23 @@ sequential ``lax.scan`` Riccati vs blocked at several D vs the
 ``associative_scan`` formulation, long-horizon small-batch unconstrained
 regime (T=4096-8192, B=8-16, n=m=4 — where SURVEY §5.7(b) claims the win).
 
-RESULT: recorded in docs/DESIGN.md §7 (run this script to reproduce).
+RESULT (2026-08-19, 1x TPU v5 lite, f32, best-of-8 interleaved rounds,
+ms/call):
+
+    T=4096 B=8  n=m=4: sequential 36.4 | assoc 1126.9 | blocked D=32 20.8,
+                       D=64 20.7, D=128 20.9  -> blocked 1.8x
+    T=8192 B=16 n=m=4: sequential 73.6 | assoc 9090.5 | blocked D=64 54.0,
+                       D=128 53.3, D=256 54.9 -> blocked 1.4x
+
+- Grounds the round-2 virtual-CPU-mesh figures (1.76x / 1.4x) on hardware
+  almost exactly.
+- The O(log T) associative_scan is 30-120x SLOWER than sequential here:
+  its 3x work + O(T)-wide element traffic swamp the depth win on a real
+  chip even at B=8 (consistent with the round-2 B>=256 finding).
+- Blocked time is floored by XLA per-scan-step overhead (~0.16 ms/step at
+  T=4096: 20.7 ms / ~128 sequential steps), NOT arithmetic — D barely
+  matters across 32-256. A Pallas blocked kernel could go further; not
+  built (unconstrained-only niche path).
 """
 
 import os
