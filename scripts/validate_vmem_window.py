@@ -22,8 +22,12 @@ nm=6 cartpole, nm=8 quadrotor) — on the real chip, checking compile + run
 Usage (one TPU process at a time; ~2-4 min, compile-dominated):
     python scripts/validate_vmem_window.py
 
-RESULT (2026-08-19, TPU v5 lite): see VALIDATION table appended below /
-docs/DESIGN.md §7 note.
+RESULT (2026-08-19, TPU v5 lite): **36/36 OK** — every family x env x
+window-edge shape (ilqr_mega/riccati/rollout/kkt x pendulum nm=4 /
+cartpole nm=6 / quadrotor nm=8 x ~12/~17/~24 MB) compiles under the
+lifted Mosaic window and runs finite. The 10-24 MB dispatch window is
+hardware-validated across the whole resident-kernel surface, not just the
+quadrotor mega-kernel shape (ADVICE r2 #1).
 """
 
 import json
