@@ -46,6 +46,31 @@ from .riccati import (
 )
 
 
+def _pick_sublane(B: int, T: int, n: int, m: int) -> int:
+    """Tile-height auto-upgrade (round 3). At the default height every
+    entry-op is ONE (8,128) vreg over 1024 scenarios and the kernel is
+    issue/overhead-bound (~0.107 vreg-ops/cycle, DESIGN.md roofline):
+    taller tiles make each entry-op 2/4 independent vregs — same
+    scalar-core loop work, 2x/4x vector work per op. Measured interleaved
+    (scripts/ab_sublane.py, TPU v5e): 16 -> 1.15x at B=2048, 1.35x at
+    B=65536; 32 -> another ~8% at B=65536. Upgrade only when B divides the
+    wider tile exactly (no padding-waste regressions) and the footprint
+    still fits the VMEM budget at that height. DIFFMPC_SUBLANE (which sets
+    the module-wide default) disables the auto-pick — explicit experiment
+    override wins."""
+    import os as _os
+
+    from .riccati import VMEM_BUDGET_BYTES, ilqr_vmem_bytes
+
+    if "DIFFMPC_SUBLANE" in _os.environ:
+        return SUBLANE
+    for h in (32, 16):
+        tb = h * LANE
+        if B % tb == 0 and ilqr_vmem_bytes(T, n, m, tb) <= VMEM_BUDGET_BYTES:
+            return h
+    return SUBLANE
+
+
 class FusedSolveResult(NamedTuple):
     xs: jnp.ndarray  # (T, B, n)
     us: jnp.ndarray  # (T, B, m)
@@ -75,8 +100,10 @@ def _make_kernel(
     has_u_init,
     batched_params=False,
     unroll=False,
+    sublane=None,
 ):
     nm = n + m
+    SL = sublane or SUBLANE  # tile height (wide-tile upgrade, round 3)
 
     def kernel(*refs):
         i = 0
@@ -96,8 +123,8 @@ def _make_kernel(
         #           7 mean qp iters (last active iteration)
 
         params = read_kernel_params(params_ref, n_params, batched_params)
-        zero = jnp.zeros((SUBLANE, LANE), jnp.float32)
-        one = jnp.ones((SUBLANE, LANE), jnp.float32)
+        zero = jnp.zeros((SL, LANE), jnp.float32)
+        one = jnp.ones((SL, LANE), jnp.float32)
 
         def dyn(x, u):
             return entries_step(params, x, u)
@@ -151,7 +178,7 @@ def _make_kernel(
         st_s[1] = init_out[0]  # best_obj
         st_s[2] = zero  # done (1.0 = frozen)
         st_s[3] = zero  # n_not_improved
-        st_s[4] = jnp.full((SUBLANE, LANE), jnp.inf, jnp.float32)
+        st_s[4] = jnp.full((SL, LANE), jnp.inf, jnp.float32)
         st_s[5] = one  # last_alpha
         st_s[6] = zero  # per-scenario iLQR iteration count
         st_s[7] = zero  # mean pnqp iterations of the last active iteration
@@ -287,7 +314,7 @@ def _make_kernel(
                 # round-1 exact-power ladder (alpha = decay**k scalars) —
                 # bitwise the production program the perf anchors measured
                 chosen = jnp.full(
-                    (SUBLANE, LANE), decay ** (n_alpha - 1), jnp.float32
+                    (SL, LANE), decay ** (n_alpha - 1), jnp.float32
                 )
                 has = zero
                 for a_idx in range(n_alpha):
@@ -315,7 +342,7 @@ def _make_kernel(
                     (
                         one,
                         jnp.full(
-                            (SUBLANE, LANE), decay ** (n_alpha - 1), jnp.float32
+                            (SL, LANE), decay ** (n_alpha - 1), jnp.float32
                         ),
                         zero,
                     ),
@@ -440,8 +467,11 @@ def ilqr_solve_fused(
     m = nm - n
     dtype = x_init.dtype
 
+    sublane = _pick_sublane(B, T, n, m)
+    tile_b = sublane * LANE
+
     orig_B = B
-    pad = (-B) % TILE_B
+    pad = (-B) % tile_b
     if pad:
         C = jnp.concatenate(
             [C, jnp.broadcast_to(jnp.eye(nm, dtype=dtype), (T, pad, nm, nm))], axis=1
@@ -461,11 +491,11 @@ def ilqr_solve_fused(
                 [u_init, jnp.zeros((T, pad, m), dtype)], axis=1
             )
         B += pad
-    G = B // TILE_B
+    G = B // tile_b
 
     f32 = lambda x: x.astype(jnp.float32)
     params_arr, n_params, batched_params, params_spec = stage_kernel_params(
-        dyn, pad, G
+        dyn, pad, G, sublane
     )
     ins = [params_arr]
     in_specs = [params_spec]
@@ -480,23 +510,23 @@ def ilqr_solve_fused(
             )
         )
 
-    add(_to_kernel_layout(f32(C), G))
-    add(_to_kernel_layout(f32(c), G))
-    add(_to_kernel_layout(f32(x_init)[None], G)[:, 0])  # (G, n, S, 128)
-    add(_to_kernel_layout(f32(jnp.broadcast_to(u_lower, (T, B, m))), G))
-    add(_to_kernel_layout(f32(jnp.broadcast_to(u_upper, (T, B, m))), G))
+    add(_to_kernel_layout(f32(C), G, sublane))
+    add(_to_kernel_layout(f32(c), G, sublane))
+    add(_to_kernel_layout(f32(x_init)[None], G, sublane)[:, 0])  # (G, n, S, 128)
+    add(_to_kernel_layout(f32(jnp.broadcast_to(u_lower, (T, B, m))), G, sublane))
+    add(_to_kernel_layout(f32(jnp.broadcast_to(u_upper, (T, B, m))), G, sublane))
     if u_init is not None:
-        add(_to_kernel_layout(f32(u_init), G))
+        add(_to_kernel_layout(f32(u_init), G, sublane))
 
     out_shapes = [
-        out_struct((G, T, n, SUBLANE, LANE), ins),  # xs
-        out_struct((G, T, m, SUBLANE, LANE), ins),  # us
-        out_struct((G, 1, SUBLANE, LANE), ins),  # obj
-        out_struct((G, 1, SUBLANE, LANE), ins),  # conv
-        out_struct((G, 1, SUBLANE, LANE), ins),  # last impr
-        out_struct((G, 1, SUBLANE, LANE), ins),  # alpha
-        out_struct((G, 1, SUBLANE, LANE), ins),  # n_iters
-        out_struct((G, 1, SUBLANE, LANE), ins),  # qp_iters
+        out_struct((G, T, n, sublane, LANE), ins),  # xs
+        out_struct((G, T, m, sublane, LANE), ins),  # us
+        out_struct((G, 1, sublane, LANE), ins),  # obj
+        out_struct((G, 1, sublane, LANE), ins),  # conv
+        out_struct((G, 1, sublane, LANE), ins),  # last impr
+        out_struct((G, 1, sublane, LANE), ins),  # alpha
+        out_struct((G, 1, sublane, LANE), ins),  # n_iters
+        out_struct((G, 1, sublane, LANE), ins),  # qp_iters
     ]
     out_specs = [
         pl.BlockSpec(
@@ -507,24 +537,24 @@ def ilqr_solve_fused(
         for s in out_shapes
     ]
     scratch = [
-        pltpu.VMEM((T, n, SUBLANE, LANE), jnp.float32),  # x_hat
-        pltpu.VMEM((T, m, SUBLANE, LANE), jnp.float32),  # u_hat
-        pltpu.VMEM((T, n, SUBLANE, LANE), jnp.float32),  # best x
-        pltpu.VMEM((T, m, SUBLANE, LANE), jnp.float32),  # best u
-        pltpu.VMEM((T, m, n, SUBLANE, LANE), jnp.float32),  # K
-        pltpu.VMEM((T, m, SUBLANE, LANE), jnp.float32),  # k
-        pltpu.VMEM((8, SUBLANE, LANE), jnp.float32),  # iteration state
+        pltpu.VMEM((T, n, sublane, LANE), jnp.float32),  # x_hat
+        pltpu.VMEM((T, m, sublane, LANE), jnp.float32),  # u_hat
+        pltpu.VMEM((T, n, sublane, LANE), jnp.float32),  # best x
+        pltpu.VMEM((T, m, sublane, LANE), jnp.float32),  # best u
+        pltpu.VMEM((T, m, n, sublane, LANE), jnp.float32),  # K
+        pltpu.VMEM((T, m, sublane, LANE), jnp.float32),  # k
+        pltpu.VMEM((8, sublane, LANE), jnp.float32),  # iteration state
     ]
 
     kernel = _make_kernel(
         T, n, m, lqr_iter, pnqp_iter, reg, decay, max_linesearch_iter,
         delta_u, eps, best_cost_eps, not_improved_lim,
         dyn.entries_step, n_params, u_init is not None,
-        batched_params=batched_params, unroll=unroll,
+        batched_params=batched_params, unroll=unroll, sublane=sublane,
     )
     from .riccati import experiment_compiler_params, ilqr_vmem_bytes
 
-    kw = experiment_compiler_params(ilqr_vmem_bytes(T, n, m))
+    kw = experiment_compiler_params(ilqr_vmem_bytes(T, n, m, tile_b))
     xs_l, us_l, obj_l, conv_l, impr_l, alpha_l, iters_l, qp_l = pl.pallas_call(
         kernel,
         grid=(G,),

@@ -76,20 +76,22 @@ def experiment_compiler_params(est_bytes: int) -> dict:
     }
 
 
-def riccati_vmem_bytes(T: int, n: int, m: int) -> int:
-    """Approximate per-tile VMEM footprint of the Riccati kernel."""
+def riccati_vmem_bytes(T: int, n: int, m: int, tile_b: int = None) -> int:
+    """Approximate per-tile VMEM footprint of the Riccati kernel.
+    ``tile_b`` sizes a non-default tile height (the mega-kernel's
+    auto-upgraded wide tiles); default is the module TILE_B."""
     nm = n + m
-    per_elem = 4 * TILE_B  # f32 tiles
+    per_elem = 4 * (tile_b or TILE_B)  # f32 tiles
     ins = T * (nm * nm + nm + n * nm + n + 2 * m)
     outs = T * (m * n + 2 * m)
     return (ins + outs) * per_elem
 
 
-def ilqr_scratch_bytes(T: int, n: int, m: int) -> int:
+def ilqr_scratch_bytes(T: int, n: int, m: int, tile_b: int = None) -> int:
     """Extra per-tile VMEM the mega-kernel keeps beyond the Riccati I/O
     (trajectory + gain scratch); shared by the dispatch gate
     (mpc._would_use_fused) and the window-lift estimate."""
-    return T * (2 * n + 3 * m + m * n) * 4 * TILE_B
+    return T * (2 * n + 3 * m + m * n) * 4 * (tile_b or TILE_B)
 
 
 def rollout_scratch_bytes(T: int, n: int, m: int) -> int:
@@ -102,12 +104,14 @@ def rollout_scratch_bytes(T: int, n: int, m: int) -> int:
     return T * (2 * n + 3 * m) * 4 * TILE_B
 
 
-def ilqr_vmem_bytes(T: int, n: int, m: int) -> int:
-    return riccati_vmem_bytes(T, n, m) + ilqr_scratch_bytes(T, n, m)
+def ilqr_vmem_bytes(T: int, n: int, m: int, tile_b: int = None) -> int:
+    return riccati_vmem_bytes(T, n, m, tile_b) + ilqr_scratch_bytes(
+        T, n, m, tile_b
+    )
 
 
-def fits_vmem(T: int, n: int, m: int, extra: int = 0) -> bool:
-    return riccati_vmem_bytes(T, n, m) + extra <= VMEM_BUDGET_BYTES
+def fits_vmem(T: int, n: int, m: int, extra: int = 0, tile_b: int = None) -> bool:
+    return riccati_vmem_bytes(T, n, m, tile_b) + extra <= VMEM_BUDGET_BYTES
 
 
 # ---------------------------------------------------------------------------
@@ -394,16 +398,17 @@ def out_struct(shape, ref_ins, dtype=jnp.float32):
     return jax.ShapeDtypeStruct(shape, dtype)
 
 
-def _to_kernel_layout(x, G):
-    """(T, B, d1, d2?) -> (G, T, d1, d2?, S, 128)."""
+def _to_kernel_layout(x, G, sublane: int = None):
+    """(T, B, d1, d2?) -> (G, T, d1, d2?, S, 128). ``sublane`` overrides
+    the module tile height (mega-kernel wide-tile upgrade)."""
     T = x.shape[0]
     trail = x.shape[2:]
     x = jnp.moveaxis(x, 1, -1)  # (T, *trail, B)
-    x = x.reshape(x.shape[:-1] + (G, SUBLANE, LANE))
+    x = x.reshape(x.shape[:-1] + (G, sublane or SUBLANE, LANE))
     return jnp.moveaxis(x, -3, 0)  # (G, T, *trail, S, 128)
 
 
-def stage_kernel_params(dyn, pad, G):
+def stage_kernel_params(dyn, pad, G, sublane: int = None):
     """Stage ``dyn.kernel_params()`` for a Pallas launch — the ONE copy of
     the staging contract shared by the mega-kernel and both rollout kernels.
 
@@ -426,9 +431,9 @@ def stage_kernel_params(dyn, pad, G):
                 axis=0,
             )
         n_params = params_raw.shape[1]
-        params_arr = _to_kernel_layout(params_raw[None], G)[:, 0]
+        params_arr = _to_kernel_layout(params_raw[None], G, sublane)[:, 0]
         spec = pl.BlockSpec(
-            (1, n_params, SUBLANE, LANE),
+            (1, n_params, sublane or SUBLANE, LANE),
             lambda g: (g, 0, 0, 0),
             memory_space=pltpu.VMEM,
         )

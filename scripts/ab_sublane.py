@@ -31,7 +31,7 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 ROUNDS = 4
-SUBLANES = (8, 16)
+SUBLANES = (8, 16)  # override: --sublanes 16,32
 
 
 def child():
@@ -65,14 +65,16 @@ def child():
             ).us
         return f, x
 
-    cases = {
-        "B2048": make(2048, 1e-5),
-        "B2048_eps0": make(2048, 0.0),
-        "B65536": make(65536, 1e-5),
-    }
+    case_spec = os.environ.get(
+        "AB_SUBLANE_CASES", "B2048,B2048_eps0,B65536"
+    ).split(",")
+    cases = {}
+    for spec in case_spec:
+        b = int(spec[1:].split("_")[0])
+        cases[spec] = make(b, 0.0 if spec.endswith("_eps0") else 1e-5)
     for name, (f, x) in cases.items():
         jax.block_until_ready(f(x))  # compile
-        calls = 20 if "65536" not in name else 3
+        calls = 20 if int(name[1:].split("_")[0]) <= 8192 else 3
         best = float("inf")
         for _ in range(4):
             t0 = time.perf_counter()
@@ -85,9 +87,14 @@ def child():
 
 
 def main():
-    best = {s: {} for s in SUBLANES}
+    sublanes = SUBLANES
+    if "--sublanes" in sys.argv:
+        sublanes = tuple(
+            int(v) for v in sys.argv[sys.argv.index("--sublanes") + 1].split(",")
+        )
+    best = {s: {} for s in sublanes}
     for rnd in range(ROUNDS):
-        for s in SUBLANES:  # alternate variants per round
+        for s in sublanes:  # alternate variants per round
             env = dict(os.environ)
             env["DIFFMPC_SUBLANE"] = str(s)
             env.setdefault("JAX_COMPILATION_CACHE_DIR", f"{_REPO}/.jax_cache")
@@ -105,10 +112,13 @@ def main():
                     best[s][k] = min(best[s].get(k, float("inf")), v)
             print(f"round {rnd} sublane {s}: {d}", flush=True)
     print("\nbest-of-rounds (ms/call):")
-    for k in sorted(best[8]):
-        r = best[8][k] / best[16][k]
-        print(f"  {k:<14} S8 {best[8][k]:8.3f}  S16 {best[16][k]:8.3f}  "
-              f"S16 speedup {r:5.2f}x")
+    base = sublanes[0]
+    for k in sorted(best[base]):
+        row = "  ".join(
+            f"S{s} {best[s][k]:8.3f}" for s in sublanes
+        )
+        r = best[base][k] / best[sublanes[-1]][k]
+        print(f"  {k:<14} {row}  S{sublanes[-1]} speedup {r:5.2f}x")
 
 
 if __name__ == "__main__":

@@ -359,6 +359,46 @@ def test_fused_multi_control_matches_xla():
     np.testing.assert_allclose(np.asarray(out.us), np.asarray(ref.us), atol=1e-3)
 
 
+def test_wide_tile_auto_upgrade_matches_default():
+    """Round-3 tile-height auto-upgrade: at B=2048 the mega-kernel picks
+    sublane=16 (two vregs per entry-op — measured 1.15-1.35x on hardware,
+    scripts/ab_sublane.py) and must agree with a forced-default-height
+    solve. Also pins the policy: upgrade requires exact divisibility and
+    VMEM fit; B=1024 and B=1536 stay at 8."""
+    from diffmpc_tpu.ops.pallas.ilqr import _pick_sublane, ilqr_solve_fused
+    from diffmpc_tpu.mpc import _expand_cost
+
+    assert _pick_sublane(1024, 20, 3, 1) == 8
+    assert _pick_sublane(1536, 20, 3, 1) == 8  # not divisible by 2048
+    assert _pick_sublane(2048, 20, 3, 1) == 16
+    assert _pick_sublane(65536, 20, 3, 1) == 32
+    # VMEM gate: cartpole T=20 fits 16 but not 32 at the default budget
+    assert _pick_sublane(4096, 20, 5, 1) == 16
+
+    B, T = 2048, 6
+    dx, C, c, x_init, lo, hi = _pendulum_problem(B, T)
+    kw = dict(
+        lqr_iter=2, pnqp_iter=4, reg=1e-7, decay=0.2,
+        max_linesearch_iter=6, eps=0.0, not_improved_lim=10**6,
+        interpret=True,
+    )
+    up = ilqr_solve_fused(x_init, C, c, dx, lo, hi, **kw)
+    import diffmpc_tpu.ops.pallas.ilqr as ilqr_mod
+
+    orig = ilqr_mod._pick_sublane
+    ilqr_mod._pick_sublane = lambda *a: 8
+    try:
+        base = ilqr_solve_fused(x_init, C, c, dx, lo, hi, **kw)
+    finally:
+        ilqr_mod._pick_sublane = orig
+    np.testing.assert_allclose(
+        np.asarray(up.us), np.asarray(base.us), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(up.objs), np.asarray(base.objs), rtol=1e-6
+    )
+
+
 def test_vmap_over_instances_fused_path():
     """Model-ensemble idiom: ``vmap(mpc_solve)`` over per-instance dynamics
     params must ride the fused kernels (pallas_call's batching rule adds a
