@@ -17,7 +17,18 @@ minima discard them.
 Usage: python scripts/ab_sublane.py            (parent; ~5-10 min)
        python scripts/ab_sublane.py --child    (internal)
 
-RESULT: recorded in docs/DESIGN.md (run this script to reproduce).
+RESULT (2026-08-19, TPU v5 lite, best-of-4 alternated rounds, ms/call):
+
+    vs sublane 8:   B2048   S8 1.803  S16 1.567   -> 1.15x
+                    B2048 eps=0 (fixed work) 1.704 -> 1.596  1.07x
+                    B65536  S8 24.415 S16 18.114  -> 1.35x
+    16 vs 32:       B4096   S16 1.939 S32 1.973   -> wash
+                    B8192   S16 2.605 S32 2.268   -> 1.15x
+                    B65536  S16 18.11 S32 16.40   -> 1.10x
+
+Auto-upgrade policy shipped in ilqr._pick_sublane: tallest of {32,16,8}
+that exactly divides B and fits the VMEM budget (B=1024 headline program
+unchanged; 65k ensemble ~4.0M solves/s).
 """
 
 import json
