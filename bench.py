@@ -457,40 +457,49 @@ def main():
             qc_r = _ec(cost, T, B, jnp.float32)
             lo_r = jnp.full((T, B, 1), -2.0, jnp.float32)
             hi_r = jnp.full((T, B, 1), 2.0, jnp.float32)
-            x_r = xs_stack[0]
+            # SOLVE-LEVEL fixed-work accounting, deliberately without the
+            # t(k2)-t(k1) slope subtraction: DMA/dispatch overheads overlap
+            # kernel compute on the chip, so marginal-iteration slopes
+            # UNDER-measure work (measured 0.026 ms/iter by subtraction vs
+            # ~1.0 ms / 10-iter solve — the overlap swallows the margin).
+            # eps=0 + huge not_improved_lim pins exactly lqr_iter
+            # iterations per scenario; the reported fraction is
+            # conservative (fixed costs stay in the denominator).
+            n_r_iter = 10
+            n_r_sets = 4
+            xs_r = xs_stack[:n_r_sets]
 
-            def make_iter(k):
-                @jax.jit
-                def f(xi):
-                    fr = ilqr_solve_fused(
-                        xi, qc_r.C, qc_r.c, dx, lo_r, hi_r,
-                        lqr_iter=k, pnqp_iter=8, reg=1e-7,
-                        decay=config.linesearch_decay,
-                        max_linesearch_iter=config.max_linesearch_iter,
-                        eps=0.0,  # no early exit: every iteration runs
-                        not_improved_lim=10**6,
-                    )
-                    return fr.us
-                return f
+            def one_fixed(xi):
+                fr = ilqr_solve_fused(
+                    xi, qc_r.C, qc_r.c, dx, lo_r, hi_r,
+                    lqr_iter=n_r_iter, pnqp_iter=8, reg=1e-7,
+                    decay=config.linesearch_decay,
+                    max_linesearch_iter=config.max_linesearch_iter,
+                    eps=0.0,  # no early exit: every iteration runs
+                    not_improved_lim=10**6,
+                )
+                return fr.us
 
-            fns = {k: make_iter(k) for k in (4, 12)}
-            for f_ in fns.values():
-                jax.block_until_ready(f_(x_r))
-            best_k = {k: float("inf") for k in fns}
-            for _ in range(6):
-                for k, f_ in fns.items():  # strict alternation
-                    t0 = time.perf_counter()
-                    for _ in range(20):
-                        r = f_(x_r)
-                    jax.block_until_ready(r)
-                    best_k[k] = min(best_k[k], (time.perf_counter() - t0) / 20)
-            slope_s = (best_k[12] - best_k[4]) / 8
+            f_fixed = jax.jit(lambda xs: jax.lax.map(one_fixed, xs))
+            jax.block_until_ready(f_fixed(xs_r))
+            best_fixed = float("inf")
+            for _ in range(8):
+                t0 = time.perf_counter()
+                for _ in range(10):
+                    r = f_fixed(xs_r)
+                jax.block_until_ready(r)
+                best_fixed = min(
+                    best_fixed, (time.perf_counter() - t0) / (10 * n_r_sets)
+                )
             floor_s = (
-                ROOFLINE_FLOPS_PER_SCENARIO_ITER * B / ROOFLINE_VPU_OPS_PER_S
+                n_r_iter
+                * ROOFLINE_FLOPS_PER_SCENARIO_ITER
+                * B
+                / ROOFLINE_VPU_OPS_PER_S
             )
-            details["iteration_slope_ms"] = round(slope_s * 1e3, 4)
-            details["roofline_floor_ms"] = round(floor_s * 1e3, 4)
-            details["roofline_frac"] = round(floor_s / slope_s, 4)
+            details["fixed_work_solve_ms"] = round(best_fixed * 1e3, 4)
+            details["roofline_floor_solve_ms"] = round(floor_s * 1e3, 4)
+            details["roofline_frac"] = round(floor_s / best_fixed, 4)
     except Exception as e:  # pragma: no cover
         details["roofline_error"] = repr(e)
 

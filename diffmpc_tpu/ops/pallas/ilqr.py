@@ -49,7 +49,7 @@ from .riccati import (
 def _pick_sublane(B: int, T: int, n: int, m: int) -> int:
     """Tile-height auto-upgrade (round 3). At the default height every
     entry-op is ONE (8,128) vreg over 1024 scenarios and the kernel is
-    issue/overhead-bound (~0.107 vreg-ops/cycle, DESIGN.md roofline):
+    issue/overhead-bound (~30% of the solve-level VPU bound, DESIGN.md):
     taller tiles make each entry-op 2/4 independent vregs — same
     scalar-core loop work, 2x/4x vector work per op. Measured interleaved
     (scripts/ab_sublane.py, TPU v5e): 16 -> 1.15x at B=2048, 1.35x at

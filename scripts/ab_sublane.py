@@ -1,9 +1,9 @@
 """A/B on real TPU: entry-tile height (DIFFMPC_SUBLANE) for the fused iLQR.
 
 Hypothesis (roofline work, round 3): at SUBLANE=8 every entry-op is exactly
-one (8,128) vreg over 1024 scenarios, and the measured ~0.107 vreg-ops/cycle
-says the kernel is dominated by per-op issue/latency + per-step scalar-core
-loop overhead, not ALU throughput. SUBLANE=16 makes each entry-op two
+one (8,128) vreg over 1024 scenarios, and the solve-level roofline (~30%
+of the VPU bound) says the kernel is dominated by per-op issue/latency +
+per-step scalar-core loop overhead, not ALU throughput. SUBLANE=16 makes each entry-op two
 independent vregs (2048 scenarios/tile): same scalar work, 2x vector work
 per op — up to 2x if the overhead hypothesis is right, ~1x if the VPU is
 already saturated.

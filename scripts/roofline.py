@@ -1,7 +1,7 @@
 """Roofline for the fused iLQR mega-kernel at the bench shape (VERDICT r2 #3).
 
-Question answered: is the measured ~0.13 ms/iteration (T=20, B=1024
-pendulum, scripts/ab_ladder_slope.py) the hardware floor, or 10x off it?
+Question answered: is the measured ~1.0 ms fixed-work solve (T=20, B=1024
+pendulum, 10 iterations) the hardware floor, or 10x off it?
 
 Method
 ------
@@ -198,7 +198,12 @@ def vmem_bytes_per_iteration(B=1024, T=20, n=3, m=1):
 
 
 def measured_iteration_slope_tpu(B=1024, T=20, iters=(4, 12), rounds=8):
-    """Interleaved lqr_iter sweep on the real chip -> ms/iteration."""
+    """Interleaved lqr_iter sweep on the real chip -> ms/iteration.
+
+    A bare single dispatch costs ~2-3 ms through the tunnel — far above
+    the slope signal — so each timed call lax.maps over several problem
+    sets: the per-call overhead becomes a constant that CANCELS in the
+    t_hi - t_lo difference (same protocol as scripts/ab_ladder_slope.py)."""
     import jax
     import jax.numpy as jnp
 
@@ -210,11 +215,11 @@ def measured_iteration_slope_tpu(B=1024, T=20, iters=(4, 12), rounds=8):
     qc = _expand_cost(cost, T, B, jnp.float32)
     lo = jnp.full((T, B, 1), -2.0, jnp.float32)
     hi = jnp.full((T, B, 1), 2.0, jnp.float32)
-    x = _x_init(B, seed=0)
+    n_sets = 4
+    xs = jnp.stack([_x_init(B, seed=s) for s in range(n_sets)])
 
     def make(k):
-        @jax.jit
-        def f(xi):
+        def one(xi):
             fr = ilqr_solve_fused(
                 xi, qc.C, qc.c, dx, lo, hi,
                 lqr_iter=k, pnqp_iter=8, reg=1e-7,
@@ -224,21 +229,21 @@ def measured_iteration_slope_tpu(B=1024, T=20, iters=(4, 12), rounds=8):
                 not_improved_lim=10**6,
             )
             return fr.us
-        return f
+        return jax.jit(lambda s: jax.lax.map(one, s))
 
     fns = {k: make(k) for k in iters}
     for f in fns.values():
-        jax.block_until_ready(f(x))
+        jax.block_until_ready(f(xs))
     best = {k: float("inf") for k in iters}
     for _ in range(rounds):
         for k, f in fns.items():  # strict alternation (CLAUDE.md discipline)
             t0 = time.perf_counter()
-            for _ in range(20):
-                r = f(x)
+            for _ in range(10):
+                r = f(xs)
             jax.block_until_ready(r)
-            best[k] = min(best[k], (time.perf_counter() - t0) / 20)
+            best[k] = min(best[k], (time.perf_counter() - t0) / 10)
     k_lo, k_hi = min(iters), max(iters)
-    return (best[k_hi] - best[k_lo]) / (k_hi - k_lo) * 1e3, {
+    return (best[k_hi] - best[k_lo]) / ((k_hi - k_lo) * n_sets) * 1e3, {
         k: v * 1e3 for k, v in best.items()
     }
 
