@@ -47,28 +47,17 @@ from .riccati import (
 
 
 def _pick_sublane(B: int, T: int, n: int, m: int) -> int:
-    """Tile-height auto-upgrade (round 3). At the default height every
-    entry-op is ONE (8,128) vreg over 1024 scenarios and the kernel is
-    issue/overhead-bound (~30% of the solve-level VPU bound, DESIGN.md):
-    taller tiles make each entry-op 2/4 independent vregs — same
-    scalar-core loop work, 2x/4x vector work per op. Measured interleaved
-    (scripts/ab_sublane.py, TPU v5e): 16 -> 1.15x at B=2048, 1.35x at
-    B=65536; 32 -> another ~8% at B=65536. Upgrade only when B divides the
-    wider tile exactly (no padding-waste regressions) and the footprint
-    still fits the VMEM budget at that height. DIFFMPC_SUBLANE (which sets
-    the module-wide default) disables the auto-pick — explicit experiment
-    override wins."""
-    import os as _os
+    """Mega-kernel tile-height auto-upgrade (round 3). At the default
+    height every entry-op is ONE (8,128) vreg over 1024 scenarios and the
+    kernel is issue/overhead-bound (~30% of the solve-level VPU bound,
+    DESIGN.md): taller tiles make each entry-op 2/4 independent vregs —
+    same scalar-core loop work, 2x/4x vector work per op. Measured
+    interleaved (scripts/ab_sublane.py, TPU v5e): 16 -> 1.15x at B=2048,
+    1.35x at B=65536; 32 -> another ~8% at B=65536; B=4096 a wash,
+    B=8192 1.15x for 32 over 16."""
+    from .riccati import ilqr_vmem_bytes, pick_tile_sublane
 
-    from .riccati import VMEM_BUDGET_BYTES, ilqr_vmem_bytes
-
-    if "DIFFMPC_SUBLANE" in _os.environ:
-        return SUBLANE
-    for h in (32, 16):
-        tb = h * LANE
-        if B % tb == 0 and ilqr_vmem_bytes(T, n, m, tb) <= VMEM_BUDGET_BYTES:
-            return h
-    return SUBLANE
+    return pick_tile_sublane(B, lambda tb: ilqr_vmem_bytes(T, n, m, tb))
 
 
 class FusedSolveResult(NamedTuple):

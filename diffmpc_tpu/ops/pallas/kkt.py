@@ -43,13 +43,13 @@ from .riccati import (
 )
 
 
-def kkt_vmem_bytes(T: int, n: int, m: int) -> int:
+def kkt_vmem_bytes(T: int, n: int, m: int, tile_b: int = None) -> int:
     """Approximate per-tile VMEM footprint of the fused KKT backward."""
     nm = n + m
     ins = T * (nm * nm + nm + n * nm + nm + nm + m)
     outs = T * (nm * nm + nm + n * nm + n) + n
     scratch = T * (m * n + m + nm)
-    return (ins + outs + scratch) * 4 * TILE_B
+    return (ins + outs + scratch) * 4 * (tile_b or TILE_B)
 
 
 def kkt_fits_vmem(T: int, n: int, m: int) -> bool:
@@ -176,15 +176,16 @@ def _dyn_grad_entries(n, nm, lam_next, mu_next, tau, p):
     return dF, df
 
 
-def _make_kernel(T, n, m, reg):
+def _make_kernel(T, n, m, reg, sublane=None):
     nm = n + m
+    SL = sublane or SUBLANE  # tile height (wide-tile upgrade, round 3)
 
     def kernel(
         C_ref, c_ref, F_ref, r_ref, tau_ref, tight_ref,
         dC_o, dc_o, dF_o, df_o, dx0_o,
         K_s, k_s, p_s,
     ):
-        zero = jnp.zeros((SUBLANE, LANE), jnp.float32)
+        zero = jnp.zeros((SL, LANE), jnp.float32)
 
         # ---- 1. auxiliary Riccati, tight dims frozen (linear term = r) ----
         def ric_body(s, Vv):
@@ -282,8 +283,13 @@ def kkt_backward_fused(
     n = nm - m
     dtype = C.dtype
 
+    from .riccati import pick_tile_sublane
+
+    sublane = pick_tile_sublane(B, lambda tb: kkt_vmem_bytes(T, n, m, tb))
+    tile_b = sublane * LANE
+
     orig_B = B
-    pad = (-B) % TILE_B
+    pad = (-B) % tile_b
     if pad:
         eyepad = jnp.broadcast_to(jnp.eye(nm, dtype=dtype), (T, pad, nm, nm))
         C = jnp.concatenate([C, eyepad], axis=1)
@@ -293,16 +299,16 @@ def kkt_backward_fused(
         tau = jnp.concatenate([tau, jnp.zeros((T, pad, nm), dtype)], axis=1)
         tight = jnp.concatenate([tight, jnp.zeros((T, pad, m), bool)], axis=1)
         B += pad
-    G = B // TILE_B
+    G = B // tile_b
 
     f32 = lambda x: x.astype(jnp.float32)
     ins = [
-        _to_kernel_layout(f32(C), G),
-        _to_kernel_layout(f32(c), G),
-        _to_kernel_layout(f32(F), G),
-        _to_kernel_layout(f32(r), G),
-        _to_kernel_layout(f32(tau), G),
-        _to_kernel_layout(tight.astype(jnp.float32), G),
+        _to_kernel_layout(f32(C), G, sublane),
+        _to_kernel_layout(f32(c), G, sublane),
+        _to_kernel_layout(f32(F), G, sublane),
+        _to_kernel_layout(f32(r), G, sublane),
+        _to_kernel_layout(f32(tau), G, sublane),
+        _to_kernel_layout(tight.astype(jnp.float32), G, sublane),
     ]
 
     def spec(shape, ndim):
@@ -312,18 +318,18 @@ def kkt_backward_fused(
         )
 
     out_shapes = [
-        out_struct((G, T, nm, nm, SUBLANE, LANE), ins),  # dC
-        out_struct((G, T, nm, SUBLANE, LANE), ins),  # dc
-        out_struct((G, T, n, nm, SUBLANE, LANE), ins),  # dF
-        out_struct((G, T, n, SUBLANE, LANE), ins),  # df
-        out_struct((G, n, SUBLANE, LANE), ins),  # dx_init
+        out_struct((G, T, nm, nm, sublane, LANE), ins),  # dC
+        out_struct((G, T, nm, sublane, LANE), ins),  # dc
+        out_struct((G, T, n, nm, sublane, LANE), ins),  # dF
+        out_struct((G, T, n, sublane, LANE), ins),  # df
+        out_struct((G, n, sublane, LANE), ins),  # dx_init
     ]
     scratch = [
-        pltpu.VMEM((T, m, n, SUBLANE, LANE), jnp.float32),  # K
-        pltpu.VMEM((T, m, SUBLANE, LANE), jnp.float32),  # k
-        pltpu.VMEM((T, nm, SUBLANE, LANE), jnp.float32),  # p
+        pltpu.VMEM((T, m, n, sublane, LANE), jnp.float32),  # K
+        pltpu.VMEM((T, m, sublane, LANE), jnp.float32),  # k
+        pltpu.VMEM((T, nm, sublane, LANE), jnp.float32),  # p
     ]
-    kernel = _make_kernel(T, n, m, reg)
+    kernel = _make_kernel(T, n, m, reg, sublane=sublane)
     dC_l, dc_l, dF_l, df_l, dx0_l = pl.pallas_call(
         kernel,
         grid=(G,),
@@ -332,7 +338,7 @@ def kkt_backward_fused(
         out_shape=out_shapes,
         scratch_shapes=scratch,
         interpret=interpret,
-        **experiment_compiler_params(kkt_vmem_bytes(T, n, m)),
+        **experiment_compiler_params(kkt_vmem_bytes(T, n, m, tile_b)),
     )(*ins)
 
     dC = _from_kernel_layout(dC_l)[:, :orig_B].astype(dtype)

@@ -114,6 +114,24 @@ def fits_vmem(T: int, n: int, m: int, extra: int = 0, tile_b: int = None) -> boo
     return riccati_vmem_bytes(T, n, m, tile_b) + extra <= VMEM_BUDGET_BYTES
 
 
+def pick_tile_sublane(B: int, est_bytes_fn) -> int:
+    """Tile-height auto-upgrade policy (round 3), shared by the fused
+    kernels: tallest height in {32, 16, default} whose tile exactly
+    divides ``B`` (no padding-waste regressions) and whose footprint
+    ``est_bytes_fn(tile_b)`` fits the VMEM budget. Taller tiles put 2/4
+    independent vregs behind every entry-op for the same scalar-core loop
+    work — measured 1.15-1.35x on the mega-kernel (scripts/ab_sublane.py).
+    A DIFFMPC_SUBLANE env override (any value, incl. 8) disables the
+    auto-pick: explicit experiment control wins."""
+    if "DIFFMPC_SUBLANE" in _os.environ:
+        return SUBLANE
+    for h in (32, 16):
+        tb = h * LANE
+        if B % tb == 0 and est_bytes_fn(tb) <= VMEM_BUDGET_BYTES:
+            return h
+    return SUBLANE
+
+
 # ---------------------------------------------------------------------------
 # Entry-wise linear algebra on lists-of-(S,128)-tiles (generated with static
 # Python loops — the in-kernel counterpart of ops/smallchol.py).

@@ -35,6 +35,38 @@ def _random_residuals(rng, T, B, n, m, n_tight=0):
             j(gx, jnp.float32), j(gu, jnp.float32))
 
 
+def test_fused_kkt_wide_tile_matches_default():
+    """Round-3 tile-height auto-upgrade on the KKT backward: B=2048 picks
+    sublane 16 (kkt footprint fits 16 at T=8 n=3 m=1) and must agree with
+    a forced-default-height pass."""
+    import diffmpc_tpu.ops.pallas.riccati as rmod
+
+    rng = np.random.default_rng(812)
+    T, B, n, m = 8, 2048, 3, 1
+    assert rmod.pick_tile_sublane(
+        B, lambda tb: __import__(
+            "diffmpc_tpu.ops.pallas.kkt", fromlist=["kkt_vmem_bytes"]
+        ).kkt_vmem_bytes(T, n, m, tb)
+    ) == 16
+    C, c, F, x_star, u_star, lo, hi, gx, gu = _random_residuals(
+        rng, T, B, n, m, 100
+    )
+    tight = (u_star <= lo + 1e-6) | (u_star >= hi - 1e-6)
+    r = jnp.concatenate([gx, jnp.where(tight, 0.0, gu)], axis=-1)
+    tau = jnp.concatenate([x_star, u_star], axis=-1)
+    up = kkt_backward_fused(C, c, F, r, tau, tight, interpret=True)
+    orig = rmod.pick_tile_sublane
+    rmod.pick_tile_sublane = lambda *a: 8
+    try:
+        base = kkt_backward_fused(C, c, F, r, tau, tight, interpret=True)
+    finally:
+        rmod.pick_tile_sublane = orig
+    for a, b in zip(up, base):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6
+        )
+
+
 @pytest.mark.parametrize("n,m,n_tight", [(3, 1, 0), (3, 1, 40), (3, 2, 60)])
 def test_fused_kkt_matches_xla_backward(n, m, n_tight):
     rng = np.random.default_rng(800 + n * 10 + m)
