@@ -94,14 +94,14 @@ def ilqr_scratch_bytes(T: int, n: int, m: int, tile_b: int = None) -> int:
     return T * (2 * n + 3 * m + m * n) * 4 * (tile_b or TILE_B)
 
 
-def rollout_scratch_bytes(T: int, n: int, m: int) -> int:
+def rollout_scratch_bytes(T: int, n: int, m: int, tile_b: int = None) -> int:
     """Extra per-tile VMEM of the standalone line-search rollout kernel
     beyond the Riccati I/O (reference trajectory + candidate scratch).
     ONE copy of the estimate, used by BOTH the resident-dispatch gate
     (ops/lqr_step.py) and the kernel's own window-lift call
     (ops/pallas/rollout.py) — these must never desynchronize: the gate
     admits a shape, the lift sizes its Mosaic VMEM window."""
-    return T * (2 * n + 3 * m) * 4 * TILE_B
+    return T * (2 * n + 3 * m) * 4 * (tile_b or TILE_B)
 
 
 def ilqr_vmem_bytes(T: int, n: int, m: int, tile_b: int = None) -> int:
@@ -291,8 +291,9 @@ def _pnqp_entries(Quu, qu, lo, hi, m, n_iter, reg):
 # ---------------------------------------------------------------------------
 
 
-def _make_kernel(T, n, m, mode, reg, pnqp_iter):
+def _make_kernel(T, n, m, mode, reg, pnqp_iter, sublane=None):
     nm = n + m
+    SL = sublane or SUBLANE  # tile height (wide-tile upgrade, round 3)
 
     def kernel(*refs):
         if mode == "box":
@@ -303,7 +304,7 @@ def _make_kernel(T, n, m, mode, reg, pnqp_iter):
         else:
             C_ref, c_ref, F_ref, f_ref, K_ref, k_ref, free_ref = refs
 
-        zero = jnp.zeros((SUBLANE, LANE), jnp.float32)
+        zero = jnp.zeros((SL, LANE), jnp.float32)
 
         def step(i, carry):
             t = T - 1 - i
@@ -511,8 +512,11 @@ def riccati_backward_pallas(
     box = u_lower is not None
     mode = "box" if box else ("mask" if ctrl_mask is not None else "free")
 
+    sublane = pick_tile_sublane(B, lambda tb: riccati_vmem_bytes(T, n, m, tb))
+    tile_b = sublane * LANE
+
     orig_B = B
-    pad = (-B) % TILE_B
+    pad = (-B) % tile_b
     if pad:
         eyepad = jnp.broadcast_to(jnp.eye(nm, dtype=dtype), (T, pad, nm, nm))
         C = jnp.concatenate([C, eyepad], axis=1)
@@ -533,24 +537,25 @@ def riccati_backward_pallas(
                 [ctrl_mask, jnp.zeros((T, pad, m), bool)], axis=1
             )
         B = B + pad
-    G = B // TILE_B
+    G = B // tile_b
 
     if f is None:
         f = jnp.zeros((T, B, n), dtype)
 
     f32 = lambda x: x.astype(jnp.float32)
     ins = [
-        _to_kernel_layout(f32(C), G),
-        _to_kernel_layout(f32(c), G),
-        _to_kernel_layout(f32(F), G),
-        _to_kernel_layout(f32(f), G),
+        _to_kernel_layout(f32(C), G, sublane),
+        _to_kernel_layout(f32(c), G, sublane),
+        _to_kernel_layout(f32(F), G, sublane),
+        _to_kernel_layout(f32(f), G, sublane),
     ]
     if mode == "box":
         lo = jnp.broadcast_to(u_lower, (T, B, m)) - u_hat
         hi = jnp.broadcast_to(u_upper, (T, B, m)) - u_hat
-        ins += [_to_kernel_layout(f32(lo), G), _to_kernel_layout(f32(hi), G)]
+        ins += [_to_kernel_layout(f32(lo), G, sublane),
+                _to_kernel_layout(f32(hi), G, sublane)]
     elif mode == "mask":
-        ins += [_to_kernel_layout(ctrl_mask.astype(jnp.float32), G)]
+        ins += [_to_kernel_layout(ctrl_mask.astype(jnp.float32), G, sublane)]
 
     def spec(x):
         return pl.BlockSpec(
@@ -559,15 +564,15 @@ def riccati_backward_pallas(
         )
 
     out_shapes = [
-        out_struct((G, T, m, n, SUBLANE, LANE), ins),  # K
-        out_struct((G, T, m, SUBLANE, LANE), ins),  # k
-        out_struct((G, T, m, SUBLANE, LANE), ins),  # free
+        out_struct((G, T, m, n, sublane, LANE), ins),  # K
+        out_struct((G, T, m, sublane, LANE), ins),  # k
+        out_struct((G, T, m, sublane, LANE), ins),  # free
     ]
     if mode == "box":
         out_shapes.append(
-            out_struct((G, T, 1, SUBLANE, LANE), ins)  # n_qp
+            out_struct((G, T, 1, sublane, LANE), ins)  # n_qp
         )
-    kernel = _make_kernel(T, n, m, mode, reg, pnqp_iter)
+    kernel = _make_kernel(T, n, m, mode, reg, pnqp_iter, sublane=sublane)
     outs = pl.pallas_call(
         kernel,
         grid=(G,),
@@ -575,7 +580,7 @@ def riccati_backward_pallas(
         out_specs=[spec(jax.ShapeDtypeStruct(s.shape, s.dtype)) for s in out_shapes],
         out_shape=out_shapes,
         interpret=interpret,
-        **experiment_compiler_params(riccati_vmem_bytes(T, n, m)),
+        **experiment_compiler_params(riccati_vmem_bytes(T, n, m, tile_b)),
     )(*ins)
     K_l, k_l, free_l = outs[:3]
 

@@ -44,9 +44,10 @@ from .riccati import (
 
 def _make_kernel(
     T, n, m, n_alpha, decay, constrained, delta_u, entries_step, n_params,
-    batched_params=False, unroll=False,
+    batched_params=False, unroll=False, sublane=None,
 ):
     nm = n + m
+    SL = sublane or SUBLANE  # tile height (wide-tile upgrade, round 3)
 
     def kernel(*refs):
         i = 0
@@ -118,7 +119,7 @@ def _make_kernel(
                 return (obj, *x_next)
 
             x0 = [x0_ref[0, a] for a in range(n)]
-            zero = jnp.zeros((SUBLANE, LANE), jnp.float32)
+            zero = jnp.zeros((SL, LANE), jnp.float32)
             out = jax.lax.fori_loop(0, T, body, (zero, *x0))
             return out[0]
 
@@ -130,15 +131,15 @@ def _make_kernel(
                 return obj + stage_cost(t, x, u)
 
             return jax.lax.fori_loop(
-                0, T, body, jnp.zeros((SUBLANE, LANE), jnp.float32)
+                0, T, body, jnp.zeros((SL, LANE), jnp.float32)
             )
 
         obj0 = hat_obj()
 
         if unroll:
             # round-1 exact-power ladder (alpha = decay**k scalars)
-            chosen = jnp.full((SUBLANE, LANE), decay ** (n_alpha - 1), jnp.float32)
-            has = jnp.zeros((SUBLANE, LANE), jnp.float32)
+            chosen = jnp.full((SL, LANE), decay ** (n_alpha - 1), jnp.float32)
+            has = jnp.zeros((SL, LANE), jnp.float32)
             for a_idx in range(n_alpha):
                 alpha = decay**a_idx
                 obj_a = rollout_obj(alpha, emit=False)
@@ -162,9 +163,9 @@ def _make_kernel(
                 n_alpha,
                 ladder_body,
                 (
-                    jnp.ones((SUBLANE, LANE), jnp.float32),
-                    jnp.full((SUBLANE, LANE), decay ** (n_alpha - 1), jnp.float32),
-                    jnp.zeros((SUBLANE, LANE), jnp.float32),
+                    jnp.ones((SL, LANE), jnp.float32),
+                    jnp.full((SL, LANE), decay ** (n_alpha - 1), jnp.float32),
+                    jnp.zeros((SL, LANE), jnp.float32),
                 ),
             )
 
@@ -204,8 +205,17 @@ def linesearch_rollout_pallas(
     dtype = x_init.dtype
     constrained = u_lower is not None
 
+    from .riccati import pick_tile_sublane
+
+    sublane = pick_tile_sublane(
+        B,
+        lambda tb: riccati_vmem_bytes(T, n, mm, tb)
+        + rollout_scratch_bytes(T, n, mm, tb),
+    )
+    tile_b = sublane * LANE
+
     orig_B = B
-    pad = (-B) % TILE_B
+    pad = (-B) % tile_b
     if pad:
         z = lambda s: jnp.zeros((T, pad) + s, dtype)
         C = jnp.concatenate(
@@ -230,11 +240,11 @@ def linesearch_rollout_pallas(
         B = B + pad
     elif f is None:
         f = jnp.zeros((T, B, n), dtype)
-    G = B // TILE_B
+    G = B // tile_b
 
     f32 = lambda x: x.astype(jnp.float32)
     # x_init: (B, n) -> (G, n, S, 128) via the (T, B, ...) helper with T=1
-    x0_l = _to_kernel_layout(f32(x_init)[None], G)[:, 0]
+    x0_l = _to_kernel_layout(f32(x_init)[None], G, sublane)[:, 0]
 
     entries_step = None
     n_params = 0
@@ -243,7 +253,7 @@ def linesearch_rollout_pallas(
     in_specs = []
     if dyn is not None:
         params_arr, n_params, batched_params, params_spec = stage_kernel_params(
-            dyn, pad, G
+            dyn, pad, G, sublane
         )
         entries_step = dyn.entries_step
         if n_params:
@@ -260,18 +270,20 @@ def linesearch_rollout_pallas(
         )
 
     for arr in [C, c, F, f, K, k, x_hat, u_hat]:
-        add(_to_kernel_layout(f32(arr), G))
+        add(_to_kernel_layout(f32(arr), G, sublane))
     add(x0_l)
     if constrained:
-        add(_to_kernel_layout(f32(jnp.broadcast_to(u_lower, (T, B, mm))), G))
-        add(_to_kernel_layout(f32(jnp.broadcast_to(u_upper, (T, B, mm))), G))
+        add(_to_kernel_layout(
+            f32(jnp.broadcast_to(u_lower, (T, B, mm))), G, sublane))
+        add(_to_kernel_layout(
+            f32(jnp.broadcast_to(u_upper, (T, B, mm))), G, sublane))
 
     out_shapes = [
-        out_struct((G, T, n, SUBLANE, LANE), ins),  # xs
-        out_struct((G, T, mm, SUBLANE, LANE), ins),  # us
-        out_struct((G, 1, SUBLANE, LANE), ins),  # obj
-        out_struct((G, 1, SUBLANE, LANE), ins),  # alpha
-        out_struct((G, 1, SUBLANE, LANE), ins),  # improved
+        out_struct((G, T, n, sublane, LANE), ins),  # xs
+        out_struct((G, T, mm, sublane, LANE), ins),  # us
+        out_struct((G, 1, sublane, LANE), ins),  # obj
+        out_struct((G, 1, sublane, LANE), ins),  # alpha
+        out_struct((G, 1, sublane, LANE), ins),  # improved
     ]
     out_specs = [
         pl.BlockSpec(
@@ -284,7 +296,7 @@ def linesearch_rollout_pallas(
 
     kernel = _make_kernel(
         T, n, mm, max_iter, decay, constrained, delta_u, entries_step, n_params,
-        batched_params=batched_params, unroll=unroll,
+        batched_params=batched_params, unroll=unroll, sublane=sublane,
     )
     xs_l, us_l, obj_l, alpha_l, impr_l = pl.pallas_call(
         kernel,
@@ -296,7 +308,8 @@ def linesearch_rollout_pallas(
         # same footprint estimate as the resident gate in lqr_step.py —
         # one shared helper so gate and window lift cannot desynchronize
         **experiment_compiler_params(
-            riccati_vmem_bytes(T, n, mm) + rollout_scratch_bytes(T, n, mm)
+            riccati_vmem_bytes(T, n, mm, tile_b)
+            + rollout_scratch_bytes(T, n, mm, tile_b)
         ),
     )(*ins)
 
