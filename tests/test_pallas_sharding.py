@@ -36,6 +36,49 @@ def _problem(B, T, seed=900):
     return dx, cost, x_init
 
 
+def test_wide_tile_pick_sees_local_batch_under_shard_map():
+    """The tile-height auto-upgrade (round 3) happens at trace time INSIDE
+    shard_map, so it keys on the per-device LOCAL batch: B_global=16384
+    over 8 devices -> local 2048 -> sublane 16 (not the 32 that 16384
+    would pick). Pinned by recording the height the kernel builder sees."""
+    import diffmpc_tpu.ops.pallas.ilqr as ilqr_mod
+
+    mesh = make_mesh(jax.devices("cpu")[:8])
+    dx, cost, x_init = _problem(16384, 4)
+    config = MPCConfig(
+        n_state=3, n_ctrl=1, T=4, lqr_iter=1, eps=0.0,
+        exit_unconverged=False, detach_unconverged=False,
+        use_pallas=True, pallas_interpret=True,
+    )
+    seen = []
+    orig = ilqr_mod._pick_sublane
+
+    def recording(B, T, n, m):
+        h = orig(B, T, n, m)
+        seen.append((B, h))
+        return h
+
+    ilqr_mod._pick_sublane = recording
+    try:
+        assert orig(16384, 4, 3, 1) == 32  # global B would pick 32
+
+        def local(x):
+            sol = mpc_solve(config, x, cost, dx, u_lower=-2.0, u_upper=2.0)
+            return sol.objs
+
+        f = jax.jit(
+            jax.shard_map(
+                local, mesh=mesh, in_specs=(P(BATCH_AXIS),),
+                out_specs=P(BATCH_AXIS), check_vma=False,
+            )
+        )
+        objs = jax.block_until_ready(f(x_init))
+        assert bool(jnp.all(jnp.isfinite(objs)))
+    finally:
+        ilqr_mod._pick_sublane = orig
+    assert seen and all(b == 2048 and h == 16 for b, h in seen), seen
+
+
 def test_fused_solve_inside_shard_map_matches_unsharded():
     """mpc_solve on the mega-kernel path, per-device inside shard_map,
     equals the same fused solve on the full batch (scenarios are
