@@ -50,19 +50,28 @@ def child():
     import jax.numpy as jnp
 
     from __graft_entry__ import _pendulum_setup, _x_init
+    from diffmpc_tpu import mpc_solve
     from diffmpc_tpu.mpc import _expand_cost
     from diffmpc_tpu.ops.pallas.ilqr import ilqr_solve_fused
     from diffmpc_tpu.ops.pallas.riccati import SUBLANE
 
-    T = 20
-    config, cost, dx = _pendulum_setup(T=T)
     out = {"sublane": SUBLANE}
 
-    def make(B, eps):
+    def make(B, eps, T=20):
+        config, cost, dx = _pendulum_setup(T=T)
+        x = _x_init(B, seed=3)
+        if T > 64:
+            # long horizon: the full solve through mpc_solve (dispatches
+            # the HBM-streaming kernels past the resident budget)
+            @jax.jit
+            def f(xi):
+                return mpc_solve(
+                    config, xi, cost, dx, u_lower=-2.0, u_upper=2.0
+                ).us
+            return f, x
         qc = _expand_cost(cost, T, B, jnp.float32)
         lo = jnp.full((T, B, 1), -2.0, jnp.float32)
         hi = jnp.full((T, B, 1), 2.0, jnp.float32)
-        x = _x_init(B, seed=3)
 
         @jax.jit
         def f(xi):
@@ -76,16 +85,19 @@ def child():
             ).us
         return f, x
 
+    # case spec: B<batch>[_T<horizon>][_eps0]
     case_spec = os.environ.get(
         "AB_SUBLANE_CASES", "B2048,B2048_eps0,B65536"
     ).split(",")
     cases = {}
     for spec in case_spec:
-        b = int(spec[1:].split("_")[0])
-        cases[spec] = make(b, 0.0 if spec.endswith("_eps0") else 1e-5)
+        parts = spec.split("_")
+        b = int(parts[0][1:])
+        T = next((int(p[1:]) for p in parts[1:] if p.startswith("T")), 20)
+        cases[spec] = make(b, 0.0 if "eps0" in parts else 1e-5, T=T)
     for name, (f, x) in cases.items():
         jax.block_until_ready(f(x))  # compile
-        calls = 20 if int(name[1:].split("_")[0]) <= 8192 else 3
+        calls = 20 if int(name.split("_")[0][1:]) <= 8192 else 3
         best = float("inf")
         for _ in range(4):
             t0 = time.perf_counter()

@@ -28,6 +28,11 @@ cartpole nm=6 / quadrotor nm=8 x ~12/~17/~24 MB) compiles under the
 lifted Mosaic window and runs finite. The 10-24 MB dispatch window is
 hardware-validated across the whole resident-kernel surface, not just the
 quadrotor mega-kernel shape (ADVICE r2 #1).
+
+Wide-tile pass (run with DIFFMPC_SUBLANE=16 / =32 — estimators and
+window_shapes scale automatically with the module tile): **36/36 OK at
+sublane 16, 35/35 at 32** (2026-08-19) — the round-3 tile-height upgrade
+is window-validated at every height the auto-pick can choose.
 """
 
 import json
