@@ -26,9 +26,18 @@ RESULT (2026-08-19, TPU v5 lite, best-of-4 alternated rounds, ms/call):
                     B8192   S16 2.605 S32 2.268   -> 1.15x
                     B65536  S16 18.11 S32 16.40   -> 1.10x
 
-Auto-upgrade policy shipped in ilqr._pick_sublane: tallest of {32,16,8}
-that exactly divides B and fits the VMEM budget (B=1024 headline program
-unchanged; 65k ensemble ~4.0M solves/s).
+Auto-upgrade policy shipped in riccati.pick_tile_sublane (used by the
+mega-kernel, the fused KKT backward, and the standalone Riccati/rollout
+kernels): tallest of {32,16,8} that exactly divides B and fits the VMEM
+budget (B=1024 headline program unchanged; 65k ensemble ~4.0M solves/s).
+
+Long-horizon STREAMING kernels (T=128, full mpc_solve, forced via
+DIFFMPC_SUBLANE since the auto-pick is not plumbed there): S16 wins only
+2-6% (B2048 4.69 -> 4.50-4.61 ms; B4096 8.53 -> 7.98-8.04 ms across 3
+rounds) — the double-buffered DMA pipeline is already hiding most
+per-step overhead, so the wide-tile win is mostly gone. Auto-pick
+deliberately NOT extended to the streaming family on this data (manual
+staging complexity for <6%); the env knob gives it to users who want it.
 """
 
 import json
