@@ -38,6 +38,8 @@ from .riccati import (
     TILE_B,
     _masked_chol_solve,
     _pnqp_entries,
+    _use_exact_value_update,
+    _value_update,
     _from_kernel_layout,
     _to_kernel_layout,
     out_struct,
@@ -93,6 +95,9 @@ def _make_kernel(
 ):
     nm = n + m
     SL = sublane or SUBLANE  # tile height (wide-tile upgrade, round 3)
+    # the mega-kernel's Riccati sweep is always box mode (degenerate boxes
+    # included — u_zero_I rides it too)
+    exact_update = _use_exact_value_update("box", m, reg)
 
     def kernel(*refs):
         i = 0
@@ -243,27 +248,9 @@ def _make_kernel(
                         K_s[t, a, b] = K[a][b]
                     k_s[t, a] = kt[a]
 
-                QuuK = [
-                    [sum(Quu[a][r] * K[r][j] for r in range(m)) for j in range(n)]
-                    for a in range(m)
-                ]
-                Quuk = [sum(Quu[a][r] * kt[r] for r in range(m)) for a in range(m)]
-                Vn = [[None] * n for _ in range(n)]
-                for a in range(n):
-                    for b in range(a, n):
-                        qxuK_ab = sum(Q[a][n + r] * K[r][b] for r in range(m))
-                        qxuK_ba = sum(Q[b][n + r] * K[r][a] for r in range(m))
-                        kQk = sum(K[r][a] * QuuK[r][b] for r in range(m))
-                        val = Q[a][b] + qxuK_ab + qxuK_ba + kQk
-                        Vn[a][b] = val
-                        if b != a:
-                            Vn[b][a] = val
-                vn = [
-                    q[a]
-                    + sum(Q[a][n + r] * kt[r] for r in range(m))
-                    + sum(K[r][a] * (qu[r] + Quuk[r]) for r in range(m))
-                    for a in range(n)
-                ]
+                Vn, vn = _value_update(
+                    Q, q, Quu, qu, K, kt, n, m, exact_update
+                )
                 return (
                     tuple(Vn[a][b] for a in range(n) for b in range(n))
                     + tuple(vn)

@@ -38,6 +38,8 @@ from .riccati import (
     _from_kernel_layout,
     _masked_chol_solve,
     _to_kernel_layout,
+    _use_exact_value_update,
+    _value_update,
     experiment_compiler_params,
     out_struct,
 )
@@ -98,27 +100,10 @@ def _aux_ric_step(n, m, reg, C, F, r, tight, Vv):
     K = [[-sols[b][a] for b in range(n)] for a in range(m)]
     kt = [-sols[n][a] for a in range(m)]
 
-    QuuK = [
-        [sum(Quu[a][r2] * K[r2][j] for r2 in range(m)) for j in range(n)]
-        for a in range(m)
-    ]
-    Quuk = [sum(Quu[a][r2] * kt[r2] for r2 in range(m)) for a in range(m)]
-    Vn = [[None] * n for _ in range(n)]
-    for a in range(n):
-        for b in range(a, n):
-            qxuK_ab = sum(Q[a][n + r2] * K[r2][b] for r2 in range(m))
-            qxuK_ba = sum(Q[b][n + r2] * K[r2][a] for r2 in range(m))
-            kQk = sum(K[r2][a] * QuuK[r2][b] for r2 in range(m))
-            val = Q[a][b] + qxuK_ab + qxuK_ba + kQk
-            Vn[a][b] = val
-            if b != a:
-                Vn[b][a] = val
-    vn = [
-        q[a]
-        + sum(Q[a][n + r2] * kt[r2] for r2 in range(m))
-        + sum(K[r2][a] * (qu[r2] + Quuk[r2]) for r2 in range(m))
-        for a in range(n)
-    ]
+    # aux Riccati is mask mode — K, kt are exact masked solves, so the DDP
+    # cancellation form applies whenever reg is tiny (see _value_update)
+    exact_update = _use_exact_value_update("mask", m, reg)
+    Vn, vn = _value_update(Q, q, Quu, qu, K, kt, n, m, exact_update)
     new_Vv = tuple(Vn[a][b] for a in range(n) for b in range(n)) + tuple(vn)
     return K, kt, new_Vv
 

@@ -201,6 +201,104 @@ def _masked_chol_solve(Quu, rhs_cols, frozen, m, reg):
     return outs
 
 
+def _pnqp_enum_entries(Quu, qu, lo, hi, m, reg):
+    """Exact box-QP solve by active-set enumeration in the entry-tile
+    layout: all ``3**m`` candidate active sets (each control dim free /
+    at lo / at hi) are solved INDEPENDENTLY — data-parallel VPU work with
+    no serial Newton chain — then the KKT-valid minimum-objective candidate
+    is selected with a short ``where`` chain.
+
+    For strictly convex ``Quu`` the box QP has a unique optimum and exactly
+    one active set satisfies the full KKT conditions, so this agrees with
+    the converged projected-Newton iteration (it IS the oracle construction
+    tests/oracles.py uses). Practical only for tiny ``m`` (3**m candidate
+    solves); dispatched for ``m == 2`` where the serial loop dominated the
+    quadrotor Riccati chain (scripts/ab_pnqp_slope.py)."""
+    import itertools
+
+    BIG = jnp.float32(1e30)
+    # tolerances: absolute slop on bound/gradient checks so fp roundoff
+    # cannot reject the true active set; ties resolve by objective and the
+    # tied candidates carry (near-)identical x.
+    tol = 1e-6
+
+    def obj(xv):
+        return sum(
+            0.5 * xv[i] * sum(Quu[i][j] * xv[j] for j in range(m))
+            + qu[i] * xv[i]
+            for i in range(m)
+        )
+
+    # Safety-net initial candidate: clipped unconstrained Newton point
+    # (always finite, never BIG-masked) — selection can only improve on it.
+    L0 = _chol_entries(Quu, m, reg)
+    x0 = _cho_solve_entries(L0, [-qu[i] for i in range(m)], m)
+    best = [jnp.clip(x0[i], lo[i], hi[i]) for i in range(m)]
+    best_obj = obj(best)
+
+    for combo in itertools.product((0, 1, 2), repeat=m):
+        free_idx = [i for i, s in enumerate(combo) if s == 0]
+        if len(free_idx) == m:
+            continue  # all-free == the safety-net candidate (clipped)
+        fixed = {
+            i: (lo[i] if s == 1 else hi[i])
+            for i, s in enumerate(combo)
+            if s != 0
+        }
+        x = [None] * m
+        for i, xv in fixed.items():
+            x[i] = xv
+        if free_idx:
+            A = [[Quu[i][j] for j in free_idx] for i in free_idx]
+            b = [
+                -(qu[i] + sum(Quu[i][j] * fixed[j] for j in fixed))
+                for i in free_idx
+            ]
+            L = _chol_entries(A, len(free_idx), reg)
+            sol = _cho_solve_entries(L, b, len(free_idx))
+            for k, i in enumerate(free_idx):
+                x[i] = sol[k]
+        g = [
+            sum(Quu[i][j] * x[j] for j in range(m)) + qu[i] for i in range(m)
+        ]
+        valid = None
+        for i, s in enumerate(combo):
+            if s == 0:
+                ok = (x[i] >= lo[i] - tol) & (x[i] <= hi[i] + tol)
+            elif s == 1:
+                ok = g[i] >= -tol
+            else:
+                ok = g[i] <= tol
+            valid = ok if valid is None else (valid & ok)
+        # clip free dims so an accepted candidate is always feasible
+        x = [jnp.clip(x[i], lo[i], hi[i]) for i in range(m)]
+        o = jnp.where(valid, obj(x), BIG)
+        take = o < best_obj
+        best = [jnp.where(take, x[i], best[i]) for i in range(m)]
+        best_obj = jnp.where(take, o, best_obj)
+
+    g = [
+        sum(Quu[i][j] * best[j] for j in range(m)) + qu[i] for i in range(m)
+    ]
+    frozen = [
+        jnp.where(
+            ((best[i] <= lo[i] + 1e-6) & (g[i] > 0))
+            | ((best[i] >= hi[i] - 1e-6) & (g[i] < 0)),
+            1.0,
+            0.0,
+        )
+        for i in range(m)
+    ]
+    return best, frozen, jnp.ones_like(best[0])
+
+
+# DIFFMPC_PNQP_ENUM: "" (default) = enumeration at m == 2; "0" = always the
+# projected-Newton loop (A/B knob); "1" = extend enumeration to m == 3
+# (27 candidates — op count grows past the loop's, chain still shorter;
+# unvalidated on hardware, experiment only).
+_PNQP_ENUM = _os.environ.get("DIFFMPC_PNQP_ENUM", "")
+
+
 def _pnqp_entries(Quu, qu, lo, hi, m, n_iter, reg):
     """In-kernel batched projected-Newton box QP in the entry-tile layout —
     the fused counterpart of ops/pnqp.py (same masking trick, fixed trip
@@ -208,7 +306,11 @@ def _pnqp_entries(Quu, qu, lo, hi, m, n_iter, reg):
 
     Returns ``(x, frozen, n_qp)`` where ``n_qp`` is the per-scenario count of
     Newton iterations actually used (ops/pnqp.py ``PnqpResult.n_iter``
-    semantics — truthful solver stats on the Pallas path too)."""
+    semantics — truthful solver stats on the Pallas path too). m == 1 uses
+    the exact scalar closed form; m == 2 the exact active-set enumeration
+    (``n_qp = 1`` for both: direct solves, no iteration)."""
+    if (m == 2 and _PNQP_ENUM != "0") or (m == 3 and _PNQP_ENUM == "1"):
+        return _pnqp_enum_entries(Quu, qu, lo, hi, m, reg)
     if m == 1:
         h = Quu[0][0] + reg
         x = jnp.clip(-qu[0] / h, lo[0], hi[0])
@@ -286,6 +388,92 @@ def _pnqp_entries(Quu, qu, lo, hi, m, n_iter, reg):
     return x, frozen, n_qp
 
 
+def _pnqp_is_exact(mode, m):
+    """True when the inner control solve returns the EXACT optimum of its
+    (masked/box) QP: free and mask modes always (direct masked solves);
+    box mode when the m==1 closed form or the m<=3 active-set enumeration
+    dispatches (the serial projected-Newton loop only approximates)."""
+    return (
+        mode != "box"
+        or m == 1
+        or (m == 2 and _PNQP_ENUM != "0")
+        or (m == 3 and _PNQP_ENUM == "1")
+    )
+
+
+def _value_update(Q, q, Quu, qu, K, kt, n, m, exact):
+    """Value-function update ``(V', v')`` from the gains, shared by all
+    Riccati-sweep kernels (resident/mega/streaming/KKT-aux).
+
+    When ``exact`` — the gains are exact masked solves and ``kt`` is the
+    exact inner-QP optimum (see :func:`_pnqp_is_exact`), with tiny ``reg``
+    — the classic DDP cancellation applies: ``(Quu K)_free = -Qux_free``
+    and ``(qu + Quu kt)_free = 0`` (frozen rows of ``K`` are zero, frozen
+    dims of the QP gradient never enter), so
+
+        ``V' = Qxx + sym(Qxu K)``      ``v' = qx + Qxu kt``
+
+    dropping the ``K'Quu K`` / ``K'(qu + Quu kt)`` terms — fewer MACs and
+    a shorter serial dependency chain per step (the headline solve is
+    VPU-latency-bound; DESIGN.md roofline). Error vs the full form is
+    ``O(reg * |K|^2)`` plus f32 roundoff. Otherwise (box mode with the
+    iterative pnqp, or large ``reg``) the full quadratic form is kept —
+    the cancellation does not hold for an unconverged ``kt``.
+
+    ``Q``/``q`` are the full (nm, nm)/(nm,) entry lists; returns ``Vn`` as
+    an upper-mirrored n x n entry list and ``vn`` as an n entry list.
+    """
+    Vn = [[None] * n for _ in range(n)]
+    if exact:
+        for a in range(n):
+            for b in range(a, n):
+                qxuK_ab = sum(Q[a][n + r] * K[r][b] for r in range(m))
+                qxuK_ba = sum(Q[b][n + r] * K[r][a] for r in range(m))
+                val = Q[a][b] + 0.5 * (qxuK_ab + qxuK_ba)
+                Vn[a][b] = val
+                if b != a:
+                    Vn[b][a] = val
+        vn = [
+            q[a] + sum(Q[a][n + r] * kt[r] for r in range(m))
+            for a in range(n)
+        ]
+        return Vn, vn
+
+    QuuK = [
+        [sum(Quu[a][r] * K[r][j] for r in range(m)) for j in range(n)]
+        for a in range(m)
+    ]
+    Quuk = [sum(Quu[a][r] * kt[r] for r in range(m)) for a in range(m)]
+    for a in range(n):
+        for b in range(a, n):
+            qxuK_ab = sum(Q[a][n + r] * K[r][b] for r in range(m))
+            qxuK_ba = sum(Q[b][n + r] * K[r][a] for r in range(m))
+            kQk = sum(K[r][a] * QuuK[r][b] for r in range(m))
+            val = Q[a][b] + qxuK_ab + qxuK_ba + kQk
+            Vn[a][b] = val
+            if b != a:
+                Vn[b][a] = val
+    vn = [
+        q[a]
+        + sum(Q[a][n + r] * kt[r] for r in range(m))
+        + sum(K[r][a] * (qu[r] + Quuk[r]) for r in range(m))
+        for a in range(n)
+    ]
+    return Vn, vn
+
+
+# reg above this bound keeps the full-form value update: the cancellation
+# identity's O(reg * |K|^2) error could reach parity tolerances there.
+VALUE_UPDATE_EXACT_REG = 1e-6
+
+
+def _use_exact_value_update(mode, m, reg):
+    """Trace-time gate for the simplified value update. Reads the module
+    global so tests/A-Bs can monkeypatch ``riccati.VALUE_UPDATE_EXACT_REG``
+    (e.g. to -1.0 to force the full form) before tracing."""
+    return _pnqp_is_exact(mode, m) and reg <= VALUE_UPDATE_EXACT_REG
+
+
 # ---------------------------------------------------------------------------
 # The kernel.
 # ---------------------------------------------------------------------------
@@ -294,6 +482,7 @@ def _pnqp_entries(Quu, qu, lo, hi, m, n_iter, reg):
 def _make_kernel(T, n, m, mode, reg, pnqp_iter, sublane=None):
     nm = n + m
     SL = sublane or SUBLANE  # tile height (wide-tile upgrade, round 3)
+    exact_update = _use_exact_value_update(mode, m, reg)
 
     def kernel(*refs):
         if mode == "box":
@@ -366,28 +555,9 @@ def _make_kernel(T, n, m, mode, reg, pnqp_iter, sublane=None):
 
             # V' = Qxx + Qxu K + (Qxu K)' + K' Quu K ; symmetric
             # v' = qx + Qxu k + K'(qu + Quu k)
-            QuuK = [
-                [sum(Quu[a][b2] * K[b2][j] for b2 in range(m)) for j in range(n)]
-                for a in range(m)
-            ]
-            Quuk = [sum(Quu[a][b2] * kt[b2] for b2 in range(m)) for a in range(m)]
-            Vn = [[None] * n for _ in range(n)]
-            for a in range(n):
-                for b in range(a, n):
-                    # (Qxu K)_ab + (K' Qux)_ab [= (Qxu K)_ba] + (K' Quu K)_ab
-                    qxuK_ab = sum(Q[a][n + r] * K[r][b] for r in range(m))
-                    qxuK_ba = sum(Q[b][n + r] * K[r][a] for r in range(m))
-                    kQk = sum(K[r][a] * QuuK[r][b] for r in range(m))
-                    val = Q[a][b] + qxuK_ab + qxuK_ba + kQk
-                    Vn[a][b] = val
-                    if b != a:
-                        Vn[b][a] = val
-            vn = [
-                q[a]
-                + sum(Q[a][n + r] * kt[r] for r in range(m))
-                + sum(K[r][a] * (qu[r] + Quuk[r]) for r in range(m))
-                for a in range(n)
-            ]
+            # (simplified via the DDP cancellation when the inner solve is
+            # exact — see _value_update)
+            Vn, vn = _value_update(Q, q, Quu, qu, K, kt, n, m, exact_update)
 
             for a in range(m):
                 for b in range(n):

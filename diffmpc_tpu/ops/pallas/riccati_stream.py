@@ -33,6 +33,8 @@ from .riccati import (
     _cho_solve_entries,
     _masked_chol_solve,
     _pnqp_entries,
+    _use_exact_value_update,
+    _value_update,
     _from_kernel_layout,
     _to_kernel_layout,
 )
@@ -40,6 +42,7 @@ from .riccati import (
 
 def _make_kernel(T, n, m, mode, reg, pnqp_iter):
     nm = n + m
+    exact_update = _use_exact_value_update(mode, m, reg)
     n_extra = 2 if mode == "box" else (1 if mode == "mask" else 0)
     n_out = 4 if mode == "box" else 3  # box adds the n_qp stats stream
 
@@ -137,27 +140,7 @@ def _make_kernel(T, n, m, mode, reg, pnqp_iter):
                 K = [[-cols[b][a] for b in range(n)] for a in range(m)]
                 kt = [-kcol[a] for a in range(m)]
 
-            QuuK = [
-                [sum(Quu[a][r] * K[r][j] for r in range(m)) for j in range(n)]
-                for a in range(m)
-            ]
-            Quuk = [sum(Quu[a][r] * kt[r] for r in range(m)) for a in range(m)]
-            Vn = [[None] * n for _ in range(n)]
-            for a in range(n):
-                for b in range(a, n):
-                    qxuK_ab = sum(Q[a][n + r] * K[r][b] for r in range(m))
-                    qxuK_ba = sum(Q[b][n + r] * K[r][a] for r in range(m))
-                    kQk = sum(K[r][a] * QuuK[r][b] for r in range(m))
-                    val = Q[a][b] + qxuK_ab + qxuK_ba + kQk
-                    Vn[a][b] = val
-                    if b != a:
-                        Vn[b][a] = val
-            vn = [
-                q[a]
-                + sum(Q[a][n + r] * kt[r] for r in range(m))
-                + sum(K[r][a] * (qu[r] + Quuk[r]) for r in range(m))
-                for a in range(n)
-            ]
+            Vn, vn = _value_update(Q, q, Quu, qu, K, kt, n, m, exact_update)
 
             # emit this step's gains: stage in VMEM, DMA out, wait (the
             # slices are tiny; waiting immediately keeps the slot logic
