@@ -217,10 +217,16 @@ def _pnqp_enum_entries(Quu, qu, lo, hi, m, reg):
     import itertools
 
     BIG = jnp.float32(1e30)
-    # tolerances: absolute slop on bound/gradient checks so fp roundoff
-    # cannot reject the true active set; ties resolve by objective and the
-    # tied candidates carry (near-)identical x.
+    # KKT-validity tolerances are RELATIVE (round 4, advisor finding): on
+    # ill-scaled problems (|Quu|,|qu| >> 1) f32 roundoff exceeds any
+    # absolute slop and the true active set would be rejected — silently
+    # falling back to the clipped-Newton safety net while _pnqp_is_exact
+    # still reports the solve exact. Bound checks scale with the box width,
+    # gradient-sign checks with the gradient's natural magnitude |qu|.
+    # Ties resolve by objective and tied candidates carry near-identical x.
     tol = 1e-6
+    tol_b = [tol * (1.0 + jnp.abs(hi[i] - lo[i])) for i in range(m)]
+    tol_g = [tol * (1.0 + jnp.abs(qu[i])) for i in range(m)]
 
     def obj(xv):
         return sum(
@@ -264,11 +270,11 @@ def _pnqp_enum_entries(Quu, qu, lo, hi, m, reg):
         valid = None
         for i, s in enumerate(combo):
             if s == 0:
-                ok = (x[i] >= lo[i] - tol) & (x[i] <= hi[i] + tol)
+                ok = (x[i] >= lo[i] - tol_b[i]) & (x[i] <= hi[i] + tol_b[i])
             elif s == 1:
-                ok = g[i] >= -tol
+                ok = g[i] >= -tol_g[i]
             else:
-                ok = g[i] <= tol
+                ok = g[i] <= tol_g[i]
             valid = ok if valid is None else (valid & ok)
         # clip free dims so an accepted candidate is always feasible
         x = [jnp.clip(x[i], lo[i], hi[i]) for i in range(m)]
@@ -296,7 +302,22 @@ def _pnqp_enum_entries(Quu, qu, lo, hi, m, reg):
 # projected-Newton loop (A/B knob); "1" = extend enumeration to m == 3
 # (27 candidates — op count grows past the loop's, chain still shorter;
 # unvalidated on hardware, experiment only).
+#
+# The env var is consulted at DISPATCH time (like DIFFMPC_SUBLANE /
+# DIFFMPC_VMEM_BUDGET_MB — round 4, advisor finding: an import-time read
+# silently ignores env flips made after `import diffmpc_tpu`); the module
+# global `_PNQP_ENUM` is the in-process default tests/A-Bs monkeypatch when
+# the env var is unset. Either way the knob is read at TRACE time — already
+# jit-compiled programs (cached on shapes only) do not see later flips;
+# retrace (fresh jit / cache-missing shapes) to apply one.
 _PNQP_ENUM = _os.environ.get("DIFFMPC_PNQP_ENUM", "")
+
+
+def _pnqp_enum_mode() -> str:
+    """The effective DIFFMPC_PNQP_ENUM value: the live env var when set,
+    else the monkeypatchable module default."""
+    env = _os.environ.get("DIFFMPC_PNQP_ENUM")
+    return env if env is not None else _PNQP_ENUM
 
 
 def _pnqp_entries(Quu, qu, lo, hi, m, n_iter, reg):
@@ -309,7 +330,8 @@ def _pnqp_entries(Quu, qu, lo, hi, m, n_iter, reg):
     semantics — truthful solver stats on the Pallas path too). m == 1 uses
     the exact scalar closed form; m == 2 the exact active-set enumeration
     (``n_qp = 1`` for both: direct solves, no iteration)."""
-    if (m == 2 and _PNQP_ENUM != "0") or (m == 3 and _PNQP_ENUM == "1"):
+    enum_mode = _pnqp_enum_mode()
+    if (m == 2 and enum_mode != "0") or (m == 3 and enum_mode == "1"):
         return _pnqp_enum_entries(Quu, qu, lo, hi, m, reg)
     if m == 1:
         h = Quu[0][0] + reg
@@ -393,11 +415,12 @@ def _pnqp_is_exact(mode, m):
     (masked/box) QP: free and mask modes always (direct masked solves);
     box mode when the m==1 closed form or the m<=3 active-set enumeration
     dispatches (the serial projected-Newton loop only approximates)."""
+    enum_mode = _pnqp_enum_mode()
     return (
         mode != "box"
         or m == 1
-        or (m == 2 and _PNQP_ENUM != "0")
-        or (m == 3 and _PNQP_ENUM == "1")
+        or (m == 2 and enum_mode != "0")
+        or (m == 3 and enum_mode == "1")
     )
 
 

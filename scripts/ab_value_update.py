@@ -60,15 +60,20 @@ def run_case(case):
 
     fns = {}
     orig = R.VALUE_UPDATE_EXACT_REG
-    for vname, bound in (("simplified", orig), ("full", -1.0)):
-        R.VALUE_UPDATE_EXACT_REG = bound
-        t0 = time.perf_counter()
-        compiled = make().lower(x0).compile()
-        out = jax.block_until_ready(compiled(x0))
-        print(f"{name} {vname}: compile+run {time.perf_counter()-t0:.1f}s",
-              flush=True)
-        fns[vname] = (compiled, out)
-    R.VALUE_UPDATE_EXACT_REG = orig
+    # try/finally: a compile/first-run failure (common on the tunneled TPU)
+    # must not leave the module global at -1.0 for the rest of the process
+    # (advisor finding, round 3).
+    try:
+        for vname, bound in (("simplified", orig), ("full", -1.0)):
+            R.VALUE_UPDATE_EXACT_REG = bound
+            t0 = time.perf_counter()
+            compiled = make().lower(x0).compile()
+            out = jax.block_until_ready(compiled(x0))
+            print(f"{name} {vname}: compile+run {time.perf_counter()-t0:.1f}s",
+                  flush=True)
+            fns[vname] = (compiled, out)
+    finally:
+        R.VALUE_UPDATE_EXACT_REG = orig
 
     du = float(jnp.max(jnp.abs(fns["simplified"][1][0] - fns["full"][1][0])))
     dob = float(jnp.max(jnp.abs(fns["simplified"][1][1] - fns["full"][1][1])))

@@ -97,6 +97,46 @@ def test_pnqp_enum_matches_xla_all_m(m):
     np.testing.assert_allclose(_flat(xe), np.asarray(res.x), atol=5e-6)
 
 
+def test_pnqp_enum_ill_scaled_relative_tolerance():
+    """Round-4 advisor fix: KKT-validity tolerances are relative. On an
+    ill-scaled QP (|Quu|,|qu| ~ 1e4, f32 roundoff >> 1e-6) an absolute
+    tolerance rejects the true active set and the enumeration silently
+    degrades to the clipped-Newton safety net; the relative tolerances keep
+    it exact. Pinned against the f64 enumeration oracle (the iterative XLA
+    pnqp itself converges only to ~1e-3 on this scaling, so it cannot serve
+    as the reference here)."""
+    from oracles import boxqp_enumerate
+
+    rng = np.random.default_rng(11)
+    Quu_b, qu_b, lo_b, hi_b = _random_box_qp(rng, 2)
+    scale = np.float32(1e4)
+    Quu_b, qu_b = Quu_b * scale, qu_b * scale
+    xe, _, _ = R._pnqp_enum_entries(
+        _tiles_mm(Quu_b), _tiles_m(qu_b), _tiles_m(lo_b), _tiles_m(hi_b),
+        2, 1e-9,
+    )
+    x_star = boxqp_enumerate(
+        Quu_b.astype(np.float64), qu_b.astype(np.float64),
+        lo_b.astype(np.float64), hi_b.astype(np.float64),
+    )
+    np.testing.assert_allclose(_flat(xe), x_star, atol=2e-5)
+
+
+def test_pnqp_enum_env_read_at_dispatch_time(monkeypatch):
+    """Round-4 advisor fix: DIFFMPC_PNQP_ENUM is consulted when the kernel
+    is traced, not once at import — setting the env var after
+    `import diffmpc_tpu` takes effect on the next fresh trace."""
+    monkeypatch.setenv("DIFFMPC_PNQP_ENUM", "0")
+    assert not R._pnqp_is_exact("box", 2)
+    monkeypatch.setenv("DIFFMPC_PNQP_ENUM", "1")
+    assert R._pnqp_is_exact("box", 3)
+    monkeypatch.delenv("DIFFMPC_PNQP_ENUM")
+    # env unset -> the monkeypatchable module default governs
+    assert R._pnqp_is_exact("box", 2)
+    monkeypatch.setattr(R, "_PNQP_ENUM", "0")
+    assert not R._pnqp_is_exact("box", 2)
+
+
 @pytest.mark.parametrize("n,m", [(3, 1), (3, 2), (4, 3)])
 def test_value_update_identity_mask_mode(n, m):
     """Simplified == full value update when K/kt are exact masked solves
