@@ -16,6 +16,10 @@ import numpy as np
 BASELINE_SOLVES_PER_S = 10_000.0
 # Soft wall-clock budget for the secondary metrics below (each one costs a
 # remote compile); whatever does not fit is skipped, never the primary line.
+# Blocks run in VALUE order (VERDICT r3 #2b): the driver-mandated regression
+# trackers (65k ensemble, roofline, quadrotor) come before the informational
+# rows (cartpole, long-horizon, NN) so a slow/contended run drops the least
+# valuable rows first.
 SECONDARY_BUDGET_S = 600.0
 
 
@@ -152,6 +156,8 @@ def main():
         "mean_obj": float(jnp.mean(objs)),
         "converged_frac": float(jnp.mean(conv)),
     }
+    if warm_start_solves_per_s is not None:
+        details["warm_start_solves_per_s"] = warm_start_solves_per_s
     try:
         from diffmpc_tpu.mpc import _expand_cost
         from diffmpc_tpu.ops.linearize import linearize_dynamics
@@ -229,15 +235,12 @@ def main():
         flush()
         return time.perf_counter() - t_start < SECONDARY_BUDGET_S
 
-    # Warm-start throughput (the receding-horizon deployment pattern —
-    # round 2: u_init rides the mega-kernel). Measured above, pre-headline.
-    if warm_start_solves_per_s is not None:
-        details["warm_start_solves_per_s"] = warm_start_solves_per_s
-
-    # Eval-config-5 shape (BASELINE.md row 3): one 65,536-scenario ensemble
-    # dispatch — the multi-host-shard shape. Tracked every round so a
-    # regression at the scale shape cannot hide behind the B=1024 headline
-    # (VERDICT r2 #4). Forward and solve+grad both.
+    # ------------------------------------------------------------------
+    # Priority 1: eval-config-5 shape (BASELINE.md row 3): one
+    # 65,536-scenario ensemble dispatch — the multi-host-shard shape.
+    # Tracked every round so a regression at the scale shape cannot hide
+    # behind the B=1024 headline (VERDICT r2 #4). Forward and solve+grad.
+    # ------------------------------------------------------------------
     try:
         if budget_left():
             B_ens = 65_536
@@ -285,6 +288,136 @@ def main():
             )
     except Exception as e:  # pragma: no cover
         details["ensemble_error"] = repr(e)
+
+    # ------------------------------------------------------------------
+    # Priority 2: roofline (VERDICT r2 #3): the measured mega-kernel
+    # iteration cost against the hardware floor. The floor is derived in
+    # scripts/roofline.py: ONE iLQR iteration of the bench problem is
+    # ROOFLINE_FLOPS_PER_SCENARIO_ITER HLO flops/scenario (XLA
+    # cost_analysis of the library's own XLA path with every scan
+    # unrolled — linearize + Riccati(+pnqp) + 10-alpha ladder + replay,
+    # computed with the SAME value-update form the kernels execute);
+    # TPU v5e VPU peak = 8*128 lanes * 4 ALUs * 0.94 GHz = 3.85e12 op/s
+    # (7.7e12 FLOP/s if every op were an FMA). Re-derive after
+    # solver-math changes (scripts/roofline.py) and update the constant.
+    # ------------------------------------------------------------------
+    # Re-derived 2026-08-20 (round 4) after the simplified-value-update /
+    # enum-pnqp defaults landed on the XLA path too — the count now models
+    # the math the kernels actually run (VERDICT r3 #1/#3). Previous
+    # (full-form value update) constant: 111,986 — the simplification is
+    # worth only ~0.5% of the iteration at n=3, m=1; the alpha-ladder
+    # rollouts dominate the flop count.
+    ROOFLINE_FLOPS_PER_SCENARIO_ITER = 111_378.0
+    ROOFLINE_VPU_OPS_PER_S = 3.85e12
+    try:
+        if budget_left():
+            from diffmpc_tpu.mpc import _expand_cost as _ec
+            from diffmpc_tpu.ops.pallas.ilqr import ilqr_solve_fused
+
+            qc_r = _ec(cost, T, B, jnp.float32)
+            lo_r = jnp.full((T, B, 1), -2.0, jnp.float32)
+            hi_r = jnp.full((T, B, 1), 2.0, jnp.float32)
+            # SOLVE-LEVEL fixed-work accounting, deliberately without the
+            # t(k2)-t(k1) slope subtraction: DMA/dispatch overheads overlap
+            # kernel compute on the chip, so marginal-iteration slopes
+            # UNDER-measure work (measured 0.026 ms/iter by subtraction vs
+            # ~1.0 ms / 10-iter solve — the overlap swallows the margin).
+            # eps=0 + huge not_improved_lim pins exactly lqr_iter
+            # iterations per scenario; the reported fraction is
+            # conservative (fixed costs stay in the denominator).
+            n_r_iter = 10
+            n_r_sets = 4
+            xs_r = xs_stack[:n_r_sets]
+
+            def one_fixed(xi):
+                fr = ilqr_solve_fused(
+                    xi, qc_r.C, qc_r.c, dx, lo_r, hi_r,
+                    lqr_iter=n_r_iter, pnqp_iter=8, reg=1e-7,
+                    decay=config.linesearch_decay,
+                    max_linesearch_iter=config.max_linesearch_iter,
+                    eps=0.0,  # no early exit: every iteration runs
+                    not_improved_lim=10**6,
+                )
+                return fr.us
+
+            f_fixed = jax.jit(lambda xs: jax.lax.map(one_fixed, xs))
+            jax.block_until_ready(f_fixed(xs_r))
+            best_fixed = float("inf")
+            for _ in range(8):
+                t0 = time.perf_counter()
+                for _ in range(10):
+                    r = f_fixed(xs_r)
+                jax.block_until_ready(r)
+                best_fixed = min(
+                    best_fixed, (time.perf_counter() - t0) / (10 * n_r_sets)
+                )
+            floor_s = (
+                n_r_iter
+                * ROOFLINE_FLOPS_PER_SCENARIO_ITER
+                * B
+                / ROOFLINE_VPU_OPS_PER_S
+            )
+            details["fixed_work_solve_ms"] = round(best_fixed * 1e3, 4)
+            details["roofline_floor_solve_ms"] = round(floor_s * 1e3, 4)
+            details["roofline_frac"] = round(floor_s / best_fixed, 4)
+    except Exception as e:  # pragma: no cover
+        details["roofline_error"] = repr(e)
+
+    # ------------------------------------------------------------------
+    # Priority 3: quadrotor (n=6, m=2): multi-control box-DDP on real
+    # dynamics — the in-kernel m=2 pnqp (active-set enumeration) / masked
+    # 2x2 Cholesky path under load. Tracks the round-3 enumeration
+    # default at the shape that motivated it (VERDICT r3 #3).
+    # ------------------------------------------------------------------
+    try:
+        if budget_left():
+            from diffmpc_tpu import MPCConfig, QuadCost
+            from diffmpc_tpu.models import QuadrotorDx
+
+            qd = QuadrotorDx.default(jnp.float32)
+            qq, pq = qd.get_true_obj()
+            cost_qd = QuadCost(jnp.diag(qq), pq)
+            config_qd = MPCConfig(
+                n_state=6, n_ctrl=2, T=20, lqr_iter=10, eps=1e-5,
+                exit_unconverged=False, detach_unconverged=False,
+            )
+            Bq = 1024
+            rngq = np.random.default_rng(5)
+            xq = jnp.asarray(
+                np.stack(
+                    [rngq.uniform(-0.5, 0.5, Bq), rngq.uniform(-0.5, 0.5, Bq),
+                     rngq.uniform(-0.2, 0.2, Bq), 0 * np.ones(Bq),
+                     0 * np.ones(Bq), 0 * np.ones(Bq)], -1,
+                ),
+                jnp.float32,
+            )
+
+            @jax.jit
+            def solve_qd(x):
+                sol = mpc_solve(
+                    config_qd, x, cost_qd, qd,
+                    u_lower=0.0, u_upper=qd.max_thrust,
+                )
+                return sol.objs
+
+            jax.block_until_ready(solve_qd(xq))
+
+            def _t_qd():
+                t0 = time.perf_counter()
+                for _ in range(8):
+                    r = solve_qd(xq)
+                jax.block_until_ready(r)
+                return time.perf_counter() - t0
+
+            details["quadrotor_solves_per_s_T20_B1024"] = round(
+                8 * Bq / best_of(3, _t_qd), 1
+            )
+    except Exception as e:  # pragma: no cover
+        details["quadrotor_error"] = repr(e)
+
+    # ------------------------------------------------------------------
+    # Informational rows (dropped first under budget pressure).
+    # ------------------------------------------------------------------
 
     # Cartpole (eval-config-4 shape): n=5 fused solve at B=4096.
     try:
@@ -390,118 +523,6 @@ def main():
             )
     except Exception as e:  # pragma: no cover
         details["nn_dynamics_error"] = repr(e)
-
-    # Quadrotor (n=6, m=2): multi-control box-DDP on real dynamics — the
-    # in-kernel m=2 pnqp / masked 2x2 Cholesky path under load.
-    try:
-        if budget_left():
-            from diffmpc_tpu import MPCConfig, QuadCost
-            from diffmpc_tpu.models import QuadrotorDx
-
-            qd = QuadrotorDx.default(jnp.float32)
-            qq, pq = qd.get_true_obj()
-            cost_qd = QuadCost(jnp.diag(qq), pq)
-            config_qd = MPCConfig(
-                n_state=6, n_ctrl=2, T=20, lqr_iter=10, eps=1e-5,
-                exit_unconverged=False, detach_unconverged=False,
-            )
-            Bq = 1024
-            rngq = np.random.default_rng(5)
-            xq = jnp.asarray(
-                np.stack(
-                    [rngq.uniform(-0.5, 0.5, Bq), rngq.uniform(-0.5, 0.5, Bq),
-                     rngq.uniform(-0.2, 0.2, Bq), 0 * np.ones(Bq),
-                     0 * np.ones(Bq), 0 * np.ones(Bq)], -1,
-                ),
-                jnp.float32,
-            )
-
-            @jax.jit
-            def solve_qd(x):
-                sol = mpc_solve(
-                    config_qd, x, cost_qd, qd,
-                    u_lower=0.0, u_upper=qd.max_thrust,
-                )
-                return sol.objs
-
-            jax.block_until_ready(solve_qd(xq))
-
-            def _t_qd():
-                t0 = time.perf_counter()
-                for _ in range(8):
-                    r = solve_qd(xq)
-                jax.block_until_ready(r)
-                return time.perf_counter() - t0
-
-            details["quadrotor_solves_per_s_T20_B1024"] = round(
-                8 * Bq / best_of(3, _t_qd), 1
-            )
-    except Exception as e:  # pragma: no cover
-        details["quadrotor_error"] = repr(e)
-
-    # Roofline (VERDICT r2 #3): the measured mega-kernel iteration slope
-    # against the hardware floor. The floor is derived in
-    # scripts/roofline.py: ONE iLQR iteration of the bench problem is
-    # 111,986 HLO flops/scenario (XLA cost_analysis of the library's own
-    # XLA path with every scan unrolled — linearize + Riccati(+pnqp) +
-    # 10-alpha ladder + replay); TPU v5e VPU peak = 8*128 lanes * 4 ALUs *
-    # 0.94 GHz = 3.85e12 op/s (7.7e12 FLOP/s if every op were an FMA).
-    # Re-derive after solver-math changes and update the constant.
-    ROOFLINE_FLOPS_PER_SCENARIO_ITER = 111_986.0
-    ROOFLINE_VPU_OPS_PER_S = 3.85e12
-    try:
-        if budget_left():
-            from diffmpc_tpu.mpc import _expand_cost as _ec
-            from diffmpc_tpu.ops.pallas.ilqr import ilqr_solve_fused
-
-            qc_r = _ec(cost, T, B, jnp.float32)
-            lo_r = jnp.full((T, B, 1), -2.0, jnp.float32)
-            hi_r = jnp.full((T, B, 1), 2.0, jnp.float32)
-            # SOLVE-LEVEL fixed-work accounting, deliberately without the
-            # t(k2)-t(k1) slope subtraction: DMA/dispatch overheads overlap
-            # kernel compute on the chip, so marginal-iteration slopes
-            # UNDER-measure work (measured 0.026 ms/iter by subtraction vs
-            # ~1.0 ms / 10-iter solve — the overlap swallows the margin).
-            # eps=0 + huge not_improved_lim pins exactly lqr_iter
-            # iterations per scenario; the reported fraction is
-            # conservative (fixed costs stay in the denominator).
-            n_r_iter = 10
-            n_r_sets = 4
-            xs_r = xs_stack[:n_r_sets]
-
-            def one_fixed(xi):
-                fr = ilqr_solve_fused(
-                    xi, qc_r.C, qc_r.c, dx, lo_r, hi_r,
-                    lqr_iter=n_r_iter, pnqp_iter=8, reg=1e-7,
-                    decay=config.linesearch_decay,
-                    max_linesearch_iter=config.max_linesearch_iter,
-                    eps=0.0,  # no early exit: every iteration runs
-                    not_improved_lim=10**6,
-                )
-                return fr.us
-
-            f_fixed = jax.jit(lambda xs: jax.lax.map(one_fixed, xs))
-            jax.block_until_ready(f_fixed(xs_r))
-            best_fixed = float("inf")
-            for _ in range(8):
-                t0 = time.perf_counter()
-                for _ in range(10):
-                    r = f_fixed(xs_r)
-                jax.block_until_ready(r)
-                best_fixed = min(
-                    best_fixed, (time.perf_counter() - t0) / (10 * n_r_sets)
-                )
-            floor_s = (
-                n_r_iter
-                * ROOFLINE_FLOPS_PER_SCENARIO_ITER
-                * B
-                / ROOFLINE_VPU_OPS_PER_S
-            )
-            details["fixed_work_solve_ms"] = round(best_fixed * 1e3, 4)
-            details["roofline_floor_solve_ms"] = round(floor_s * 1e3, 4)
-            details["roofline_frac"] = round(floor_s / best_fixed, 4)
-    except Exception as e:  # pragma: no cover
-        details["roofline_error"] = repr(e)
 
     flush()
 

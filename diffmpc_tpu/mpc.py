@@ -52,7 +52,13 @@ class MPCInfo(NamedTuple):
     last_improvement: jnp.ndarray  # (B,)
     mean_alpha: jnp.ndarray  # (B,) line-search step of last iteration
     clamp_frac: jnp.ndarray  # (B,) fraction of clamped control dims (last it.)
-    qp_iters: jnp.ndarray  # (B,) mean pnqp iterations (last iteration)
+    # (B,) mean inner-QP solve count over time steps (last iLQR iteration):
+    # Newton iterations when the iterative pnqp dispatches (box mode at
+    # m >= 3, or DIFFMPC_PNQP_ENUM=0), exactly 1.0 for direct exact solves
+    # (m=1 closed form, m<=2 active-set enumeration — the default). One
+    # meaning on BOTH the XLA and fused paths (pinned by
+    # tests/test_quadrotor.py::test_qp_iters_semantics_agree_across_paths).
+    qp_iters: jnp.ndarray
 
 
 class MPCSolution(NamedTuple):

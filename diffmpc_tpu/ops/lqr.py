@@ -87,7 +87,21 @@ def riccati_backward(
     T, B = C.shape[0], C.shape[1]
     m = C.shape[-1] - n
     dtype = C.dtype
-    eye_m = jnp.eye(m, dtype=dtype)
+
+    # Simplified (DDP-cancellation) value update, gated EXACTLY like the
+    # Pallas kernels (ops/pallas/riccati._value_update — the derivation
+    # and error bound live there): when the inner control solve is the
+    # exact optimum of its (masked/box) QP and reg is tiny, the
+    # K'Quu K / K'(qu + Quu kt) terms cancel and V' = Qxx + sym(Qxu K),
+    # v' = qx + Qxu kt. Sharing the gate keeps the XLA and fused paths
+    # executing the SAME math (CLAUDE.md kernel-equivalence invariant)
+    # and makes scripts/roofline.py's XLA-path flop count model the
+    # kernel's actual work (VERDICT r3 #1). Lazy import: pallas.riccati
+    # module-imports this module.
+    from .pallas.riccati import _use_exact_value_update
+
+    mode = "box" if box else ("mask" if ctrl_mask is not None else "free")
+    exact_update = _use_exact_value_update(mode, m, reg)
 
     if f is None:
         f = jnp.zeros(C.shape[:2] + (n,), dtype=dtype)
@@ -153,9 +167,14 @@ def riccati_backward(
             free = jnp.ones(qu.shape, dtype=bool)
             qp_iters = jnp.zeros(qu.shape[:-1], dtype=jnp.int32)
 
-        KT = btrans(K)
-        V_new = Qxx + bmm(Qxu, K) + bmm(KT, Qux) + bmm(KT, bmm(Quu, K))
-        v_new = qx + bmv(Qxu, kt) + bmv(KT, qu + bmv(Quu, kt))
+        if exact_update:
+            QxuK = bmm(Qxu, K)
+            V_new = Qxx + 0.5 * (QxuK + btrans(QxuK))
+            v_new = qx + bmv(Qxu, kt)
+        else:
+            KT = btrans(K)
+            V_new = Qxx + bmm(Qxu, K) + bmm(KT, Qux) + bmm(KT, bmm(Quu, K))
+            v_new = qx + bmv(Qxu, kt) + bmv(KT, qu + bmv(Quu, kt))
         V_new = symmetrize(V_new)
         return (V_new, v_new), dict(K=K, k=kt, free=free, qp=qp_iters)
 

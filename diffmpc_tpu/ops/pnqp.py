@@ -62,6 +62,82 @@ def _obj(H, q, x):
     return 0.5 * bquad(x, H) + bdot(q, x)
 
 
+def _pnqp_enum(H, q, lower, upper, reg, eps):
+    """Exact box-QP solve by active-set enumeration (matrix-form twin of
+    the fused kernel's ``_pnqp_enum_entries`` — ops/pallas/riccati.py):
+    all ``3**m`` candidate active sets (each dim free / at lo / at hi) are
+    solved independently via the identity-masked system, the KKT-valid
+    minimum-objective candidate wins. For strictly convex ``H`` exactly one
+    active set satisfies the full KKT conditions, so this IS the converged
+    projected-Newton answer (tests/oracles.py ``boxqp_enumerate``), with no
+    serial Newton chain. Practical only for tiny ``m``; dispatched at
+    ``m == 2`` (and ``m == 3`` behind DIFFMPC_PNQP_ENUM=1) to mirror the
+    Pallas kernels — keeping ``PnqpResult`` semantics (active sets, reused
+    factor, ``n_iter``) identical across the XLA and fused paths."""
+    import itertools
+
+    dtype = H.dtype
+    m = q.shape[-1]
+    BIG = jnp.asarray(1e30, dtype)
+    # KKT-validity tolerances are RELATIVE (same rationale as the kernel
+    # twin): bound checks scale with the box width, gradient-sign checks
+    # with |q|, so ill-scaled problems cannot reject their true active set.
+    tol = 1e-6
+    tol_b = tol * (1.0 + jnp.abs(upper - lower))
+    tol_g = tol * (1.0 + jnp.abs(q))
+
+    # Safety-net candidate: clipped unconstrained Newton point (always
+    # finite, never BIG-masked) — selection can only improve on it.
+    chol0 = cholesky_small(H, reg)
+    x0 = -cho_solve_small(chol0, q[..., None])[..., 0]
+    best = eclamp(x0, lower, upper)
+    best_obj = _obj(H, q, best)
+
+    for combo in itertools.product((0, 1, 2), repeat=m):
+        if all(s == 0 for s in combo):
+            continue  # all-free == the safety-net candidate (clipped)
+        fixed = jnp.asarray([s != 0 for s in combo])
+        # fixed dims pinned at their bound; free dims solve the masked
+        # system with the fixed contribution moved to the rhs
+        xf = jnp.where(
+            jnp.asarray([s == 1 for s in combo]), lower,
+            jnp.where(jnp.asarray([s == 2 for s in combo]), upper, 0.0),
+        )
+        Hm = masked_identity_system(H, jnp.broadcast_to(fixed, q.shape), reg)
+        rhs = jnp.where(fixed, 0.0, -(q + bmv(H, xf)))
+        dx = cho_solve_small(cholesky_small(Hm), rhs[..., None])[..., 0]
+        x = xf + dx  # fixed rows: identity system with zero rhs -> dx = 0
+        g = bmv(H, x) + q
+        ok_free = (x >= lower - tol_b) & (x <= upper + tol_b)
+        ok_lo = g >= -tol_g
+        ok_hi = g <= tol_g
+        per_dim = jnp.stack([ok_free, ok_lo, ok_hi], axis=-1)
+        sel = jnp.asarray(combo)
+        valid = jnp.all(
+            jnp.take_along_axis(
+                per_dim, jnp.broadcast_to(sel, x.shape)[..., None], axis=-1
+            )[..., 0],
+            axis=-1,
+        )
+        x = eclamp(x, lower, upper)  # accepted candidates always feasible
+        o = jnp.where(valid, _obj(H, q, x), BIG)
+        take = o < best_obj
+        best = jnp.where(take[..., None], x, best)
+        best_obj = jnp.where(take, o, best_obj)
+
+    g = bmv(H, best) + q
+    Ic = ((best <= lower + eps) & (g > 0)) | ((best >= upper - eps) & (g < 0))
+    Hm = masked_identity_system(H, Ic, reg)
+    return PnqpResult(
+        x=best,
+        chol_free=cholesky_small(Hm),
+        free_mask=~Ic,
+        # n_iter semantics on direct exact solves: 1 (one solve, no
+        # iteration) — identical on the fused path (MPCInfo.qp_iters).
+        n_iter=jnp.ones(q.shape[:-1], dtype=jnp.int32),
+    )
+
+
 def pnqp(
     H: jnp.ndarray,
     q: jnp.ndarray,
@@ -98,6 +174,21 @@ def pnqp(
     eye = jnp.eye(m, dtype=dtype)
     lower = jnp.broadcast_to(jnp.asarray(lower, dtype), q.shape)
     upper = jnp.broadcast_to(jnp.asarray(upper, dtype), q.shape)
+
+    # Exact active-set enumeration at m == 2 (m == 3 behind
+    # DIFFMPC_PNQP_ENUM=1), mirroring the fused kernels' dispatch
+    # (ops/pallas/riccati._pnqp_entries) so solver behavior AND
+    # PnqpResult.n_iter / MPCInfo.qp_iters semantics agree across the XLA
+    # and Pallas paths (round 4, VERDICT r3 #6). Lazy import: the policy
+    # knobs live with the kernels (the documented monkeypatch surface,
+    # CLAUDE.md), and pallas.riccati module-imports ops.lqr -> ops.pnqp,
+    # so a module-level import here would cycle.
+    if m in (2, 3):
+        from .pallas.riccati import _pnqp_enum_mode
+
+        enum_mode = _pnqp_enum_mode()
+        if (m == 2 and enum_mode != "0") or (m == 3 and enum_mode == "1"):
+            return _pnqp_enum(H, q, lower, upper, reg, eps)
 
     if m == 1:
         # 1-D box QP in closed form: x* = clamp(-q/H) — no Newton loop.

@@ -50,7 +50,7 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
-ROUNDS = 4
+ROUNDS = int(os.environ.get("AB_SUBLANE_ROUNDS", "4"))
 SUBLANES = (8, 16)  # override: --sublanes 16,32
 
 

@@ -116,6 +116,38 @@ def test_fused_kernel_matches_xla():
     assert close.mean() > 0.95, close.mean()
 
 
+def test_qp_iters_semantics_agree_across_paths(monkeypatch):
+    """VERDICT r3 #6: MPCInfo.qp_iters means ONE thing on every dispatch —
+    inner-QP solve count: exactly 1 for direct exact solves (the m<=2
+    enumeration/closed form, default on BOTH paths since round 4), true
+    Newton-iteration counts when the iterative loop dispatches (enum knob
+    off). Pinned here at m=2 where round 3 had let the paths diverge."""
+    from diffmpc_tpu.ops.pallas import riccati as R
+
+    B, T = 256, 6
+    dx, cost, config = _setup(T, B, lqr_iter=2, eps=0.0, not_improved_lim=10**6)
+    config_x = dataclasses.replace(config, use_pallas=False)
+    config_p = dataclasses.replace(config, use_pallas=True, pallas_interpret=True)
+    x0 = _x_init(B)
+
+    def qp_of(cfg):
+        sol = mpc_solve(cfg, x0, cost, dx, u_lower=0.0, u_upper=5.0)
+        return np.asarray(sol.info.qp_iters)
+
+    # default (enumeration): both paths report exactly 1.0 — direct solves
+    for cfg in (config_x, config_p):
+        qp = qp_of(cfg)
+        np.testing.assert_allclose(qp, 1.0, atol=1e-6)
+
+    # iterative loop forced on both paths: true counts, >= 1, and some
+    # scenario takes more than one Newton iteration somewhere
+    monkeypatch.setattr(R, "_PNQP_ENUM", "0")
+    for cfg in (config_x, config_p):
+        qp = qp_of(cfg)
+        assert (qp >= 1.0 - 1e-6).all()
+        assert (qp > 1.0 + 1e-6).any(), "loop never iterated — bad fixture"
+
+
 def test_sysid_gradients_flow():
     B, T = 8, 10
     dx, cost, config = _setup(T, B, lqr_iter=4)
