@@ -301,13 +301,13 @@ def main():
     # (7.7e12 FLOP/s if every op were an FMA). Re-derive after
     # solver-math changes (scripts/roofline.py) and update the constant.
     # ------------------------------------------------------------------
-    # Re-derived 2026-08-20 (round 4) after the simplified-value-update /
-    # enum-pnqp defaults landed on the XLA path too — the count now models
-    # the math the kernels actually run (VERDICT r3 #1/#3). Previous
-    # (full-form value update) constant: 111,986 — the simplification is
-    # worth only ~0.5% of the iteration at n=3, m=1; the alpha-ladder
-    # rollouts dominate the flop count.
-    ROOFLINE_FLOPS_PER_SCENARIO_ITER = 111_378.0
+    # Re-derived 2026-08-20 (round 4): the XLA path now shares the
+    # kernels' solver-math gates, so this count models the math that runs
+    # on chip (VERDICT r3 #1/#3). Full-form value update (the decided
+    # default — the simplified form measured neutral and was reverted);
+    # with the simplified form enabled the count is 111,378 (~0.5% less:
+    # the alpha-ladder rollouts dominate).
+    ROOFLINE_FLOPS_PER_SCENARIO_ITER = 111_986.0
     ROOFLINE_VPU_OPS_PER_S = 3.85e12
     try:
         if budget_left():

@@ -485,9 +485,19 @@ def _value_update(Q, q, Quu, qu, K, kt, n, m, exact):
     return Vn, vn
 
 
-# reg above this bound keeps the full-form value update: the cancellation
-# identity's O(reg * |K|^2) error could reach parity tolerances there.
-VALUE_UPDATE_EXACT_REG = 1e-6
+# Threshold on reg below which the simplified value update MAY engage
+# (the cancellation identity's O(reg * |K|^2) error could reach parity
+# tolerances above it). Default -1.0 = ALWAYS use the full quadratic form:
+# the round-4 hardware A/Bs measured the simplification NEUTRAL at every
+# shape that matters (interleaved fixed-work minima — mega-kernel pendulum
+# m=1 0.969x, quadrotor m=2 1.008x, standalone Riccati pass 1.008x with
+# bitwise-identical gains; scripts/ab_value_update.py,
+# ab_riccati_value.py), so the round-3 default was flipped back: a default
+# that buys nothing below the noise floor is debt, and the full form keeps
+# the XLA/kernel equivalence story trivial. Set to e.g. 1e-6 before
+# tracing to re-enable the simplified form (experiment knob; the identity
+# and its tests remain — tests/test_value_update.py).
+VALUE_UPDATE_EXACT_REG = -1.0
 
 
 def _use_exact_value_update(mode, m, reg):

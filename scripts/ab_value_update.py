@@ -3,8 +3,16 @@ quadratic form inside the fused mega-kernel, at the pendulum headline shape
 (m=1) and the quadrotor shape (m=2).
 
 Variants are traced fresh in one process (riccati.VALUE_UPDATE_EXACT_REG
-flipped to -1.0 forces the full form at trace time) and timed interleaved
-with per-variant minima. Fixed work: eps=0, exact lqr_iter.
+= 1e-6 enables the simplified form at trace time, -1.0 the full form) and
+timed interleaved with per-variant minima. Fixed work: eps=0, exact
+lqr_iter.
+
+RESULT (2026-08-20, r4, interleaved minima): pendulum m=1 simplified
+0.969x (3.128 vs 3.032 ms), quadrotor m=2 1.008x (3.146 vs 3.172 ms);
+standalone Riccati pass 1.008x with bitwise-identical gains
+(scripts/ab_riccati_value.py). NEUTRAL at every shape -> the full form is
+the default (riccati.VALUE_UPDATE_EXACT_REG = -1.0); the identity, knob
+and tests remain for future re-evaluation.
 """
 
 import time
@@ -64,7 +72,7 @@ def run_case(case):
     # must not leave the module global at -1.0 for the rest of the process
     # (advisor finding, round 3).
     try:
-        for vname, bound in (("simplified", orig), ("full", -1.0)):
+        for vname, bound in (("simplified", 1e-6), ("full", -1.0)):
             R.VALUE_UPDATE_EXACT_REG = bound
             t0 = time.perf_counter()
             compiled = make().lower(x0).compile()

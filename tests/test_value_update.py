@@ -240,6 +240,9 @@ def test_mega_kernel_simplified_vs_full_update(monkeypatch):
         )
         return np.asarray(fr.us), np.asarray(fr.objs)
 
+    # default is the full form (round-4 decision: the simplification
+    # measured neutral on hardware); force the simplified build explicitly
+    monkeypatch.setattr(R, "VALUE_UPDATE_EXACT_REG", 1e-6)
     u1, o1 = solve()
     monkeypatch.setattr(R, "VALUE_UPDATE_EXACT_REG", -1.0)
     u0, o0 = solve()
