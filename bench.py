@@ -123,8 +123,13 @@ def main():
                 jax.block_until_ready(r)
                 return time.perf_counter() - t0
 
+            # best-of-8: the warm row sits in the headline JSON line, so it
+            # gets (nearly) the primary's contention robustness, not the
+            # secondary rows' best-of-3 (a burst here printed 783k next to a
+            # 1.04M cold primary in r4 — warm must not look slower than cold
+            # because of timing-loop asymmetry).
             warm_start_solves_per_s = round(
-                n_timed * n_sets * B / best_of(3, _t_warm), 1
+                n_timed * n_sets * B / best_of(8, _t_warm), 1
             )
     except Exception:  # pragma: no cover - never block the primary line
         pass

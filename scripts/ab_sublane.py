@@ -38,6 +38,16 @@ rounds) — the double-buffered DMA pipeline is already hiding most
 per-step overhead, so the wide-tile win is mostly gone. Auto-pick
 deliberately NOT extended to the streaming family on this data (manual
 staging complexity for <6%); the env knob gives it to users who want it.
+
+CLOSED 2026-08-20 (VERDICT r3 #7) at the shape with the least DMA slack —
+the long-horizon ensemble (best-of-3 alternated rounds, ms/call):
+
+    B8192_T128   S8  18.086   S16 17.139  -> 1.06x
+    B65536_T128  S8 227.586   S16 227.805 -> 1.00x (wash)
+
+At B=65,536 the pipeline is fully bandwidth/latency-hidden and the wide
+tile buys nothing. Below the >=10%-anywhere-real adoption bar:
+**rejected-with-data** — streaming family stays at S8 with the env knob.
 """
 
 import json

@@ -17,6 +17,7 @@ ALL_EXAMPLES = [
     "il_nn_dynamics.py",
     "il_pendulum.py",
     "il_quadrotor.py",
+    "receding_mpc.py",
     "render_trajectory.py",
     "sysid_domain_rand.py",
 ]
@@ -60,3 +61,26 @@ def test_il_pendulum_runs_end_to_end_without_pythonpath(tmp_path):
     )
     assert res.returncode == 0, res.stderr[-2000:]
     assert "final params" in res.stdout
+
+
+def test_receding_mpc_runs_end_to_end_without_pythonpath(tmp_path):
+    """The deployment-pattern CLI: closed-loop episode compiles and reports
+    the summary row (success_frac etc.), including under plant-vs-model
+    parameter mismatch and the slew penalty (the two knobs that only
+    matter in this pattern)."""
+    res = subprocess.run(
+        [
+            sys.executable, "receding_mpc.py", "--cpu", "--batch", "8",
+            "--horizon", "8", "--env-steps", "10", "--lqr-iter", "4",
+            "--plant-param-error", "0.1", "--slew", "1e-2",
+            "--out", str(tmp_path / "receding.csv"),
+        ],
+        cwd=EXAMPLES,
+        env=_clean_env(),
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "success_frac" in res.stdout
+    assert (tmp_path / "receding.csv").exists()
