@@ -48,6 +48,17 @@ the long-horizon ensemble (best-of-3 alternated rounds, ms/call):
 At B=65,536 the pipeline is fully bandwidth/latency-hidden and the wide
 tile buys nothing. Below the >=10%-anywhere-real adoption bar:
 **rejected-with-data** — streaming family stays at S8 with the env knob.
+
+SUBLANE 64 (2026-08-20, resident mega-kernel, DIFFMPC_VMEM_BUDGET_MB=48
+to admit the ~35 MB tile; best-of-3 alternated rounds):
+
+    B65536       S32 16.772   S64 16.227  -> 1.03x
+    B65536_eps0  S32 16.040   S64 16.169  -> 0.99x (fixed work: wash)
+
+The 8-16-32 ladder's returns (1.15x, 1.10x, ~1.0x) are exhausted: at
+S=32 every entry-op already puts 4 independent vregs behind the serial
+recursion and the VPU issue is saturated. S=64 rejected — the auto-pick
+ladder stays {32, 16, 8} and the default VMEM budget stays 24 MB.
 """
 
 import json

@@ -32,7 +32,11 @@ def _run_sub(code: str, extra_env: dict) -> subprocess.CompletedProcess:
         env=env,
         capture_output=True,
         text=True,
-        timeout=900,
+        # Generous: the dryrun alone takes ~45 s on an idle box, but under
+        # a fully loaded pytest-xdist run (4 workers each compiling JAX
+        # programs) 900 s was observed to flake (r4 suite log). The gate
+        # must fail on real breakage, not on box contention.
+        timeout=1800,
     )
 
 
