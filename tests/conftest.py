@@ -21,5 +21,12 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+# DIFFMPC_REAL_TPU_TESTS=1 leaves the session backend (the real TPU) in
+# place so the TPU-gated tests actually execute on hardware:
+#   DIFFMPC_REAL_TPU_TESTS=1 python -m pytest tests/test_pallas_sharding.py -k real_tpu
+# Select those tests explicitly — the rest of the suite assumes CPU + x64
+# (f64 oracles; the TPU backend has no f64) and is NOT expected to pass
+# wholesale under this flag.
+if not os.environ.get("DIFFMPC_REAL_TPU_TESTS"):
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
