@@ -1,0 +1,120 @@
+"""Ahead-of-time export of MPC solve programs (``jax.export``).
+
+Serving deployment support (SURVEY.md §5.4 — the reference's deployment
+story is per-process Python; a TPU fleet wants a build-once artifact): a
+solve program — config, cost, dynamics, bounds, batch shape all fixed — is
+serialized as a StableHLO artifact (Mosaic kernel custom-calls embedded)
+that a serving process loads and calls WITHOUT the model/config Python or
+retracing. Honest scope: deserialization skips tracing/lowering, and the
+backend compile of the artifact is cached by the persistent compilation
+cache (``JAX_COMPILATION_CACHE_DIR``) like any program; the artifact is a
+versioned deployment unit, not a compile-time bypass.
+
+Runtime inputs are opt-in and positional, in this order:
+``f(x_init[, u_init][, params])`` —
+
+- ``warm_start=True`` adds ``u_init`` (the receding-horizon pattern:
+  ship one artifact, thread the shifted plan at runtime);
+- ``params_input=True`` adds the dynamics-model parameter pytree (serve a
+  sysid/learned model whose weights update without re-exporting; shapes
+  are taken from ``dx.params``, per-scenario ``(B, P)`` rows included);
+- ``vjp_order=1`` makes the artifact differentiable after load
+  (``jax.grad`` through ``load_solve(blob)`` re-enters the serialized
+  analytic KKT backward) — training against a frozen solver build.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import export as _jexport
+
+from .mpc import MPCInfo, MPCSolution, mpc_solve
+from .types import MPCConfig
+
+# The artifact's output tree contains these NamedTuples; their treedefs
+# must be serializable (and re-registered identically at load — importing
+# this module does both sides).
+for _nt in (MPCSolution, MPCInfo):
+    try:
+        _jexport.register_namedtuple_serialization(
+            _nt, serialized_name=f"diffmpc_tpu.{_nt.__name__}"
+        )
+    except ValueError:  # already registered (re-import / reload)
+        pass
+
+
+def export_solve(
+    config: MPCConfig,
+    cost,
+    dx,
+    B: int,
+    *,
+    u_lower=None,
+    u_upper=None,
+    warm_start: bool = False,
+    params_input: bool = False,
+    vjp_order: int = 0,
+    platforms: Optional[list] = None,
+) -> bytes:
+    """Serialize the solve program for batch size ``B`` to bytes.
+
+    ``platforms`` passes through to ``jax.export.export`` (e.g.
+    ``['tpu']`` to cross-lower from a CPU build host); default = the
+    current backend.
+    """
+    T, n, m = config.T, config.n_state, config.n_ctrl
+    dtype = config.dtype
+
+    def solve(x, u_init=None, params=None):
+        d = dx if params is None else dx.replace(params=params)
+        return mpc_solve(
+            config, x, cost, d, u_init=u_init,
+            u_lower=u_lower, u_upper=u_upper,
+        )
+
+    x_s = jax.ShapeDtypeStruct((B, n), dtype)
+    u_s = jax.ShapeDtypeStruct((T, B, m), dtype)
+    p_s = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.asarray(a).dtype),
+        getattr(dx, "params", None),
+    )
+    if params_input and p_s is None:
+        raise ValueError(
+            "params_input=True requires a dynamics model with a .params "
+            f"pytree; {type(dx).__name__} has none"
+        )
+
+    # Fixed positional signatures: the artifact's calling convention must
+    # not depend on keyword plumbing that the loading process can't see.
+    if warm_start and params_input:
+        fn, args = (lambda x, u, p: solve(x, u, p)), (x_s, u_s, p_s)
+    elif warm_start:
+        fn, args = (lambda x, u: solve(x, u)), (x_s, u_s)
+    elif params_input:
+        fn, args = (lambda x, p: solve(x, params=p)), (x_s, p_s)
+    else:
+        fn, args = (lambda x: solve(x)), (x_s,)
+
+    kw = {} if platforms is None else {"platforms": platforms}
+    exp = _jexport.export(jax.jit(fn), **kw)(*args)
+    return exp.serialize(vjp_order=vjp_order)
+
+
+def load_solve(blob: bytes):
+    """Deserialize an :func:`export_solve` artifact into a callable.
+
+    The callable takes the positional runtime inputs chosen at export time
+    and returns the full :class:`~diffmpc_tpu.mpc.MPCSolution` pytree. It
+    is jit-compatible and, if exported with ``vjp_order>=1``,
+    differentiable.
+    """
+    exp = _jexport.deserialize(blob)
+
+    def call(*args):
+        return exp.call(*args)
+
+    call.exported = exp  # introspection: .in_avals, .platforms, ...
+    return call

@@ -1,0 +1,66 @@
+"""Real-TPU spot check of the AOT export path (diffmpc_tpu/aot.py).
+
+Exports the B=1024 pendulum solve ON the axon backend (the Pallas
+mega-kernel's Mosaic custom-call embedded in the artifact), loads it back,
+and compares against the live mpc_solve — controls and objectives must
+match exactly (same StableHLO → same program).
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/check_aot_tpu.py
+"""
+
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", f"{_REPO}/.jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from __graft_entry__ import _pendulum_setup, _x_init
+from diffmpc_tpu import mpc_solve
+from diffmpc_tpu.aot import export_solve, load_solve
+
+
+def main():
+    print("backend:", jax.default_backend(), jax.devices()[0])
+    config, cost, dx = _pendulum_setup(T=20)
+    B = 1024
+    x = _x_init(B, seed=7)
+
+    t0 = time.time()
+    blob = export_solve(config, cost, dx, B=B, u_lower=-2.0, u_upper=2.0)
+    print(f"exported {len(blob)/1e6:.2f} MB in {time.time()-t0:.1f}s")
+
+    solve = load_solve(blob)
+    t0 = time.time()
+    got = jax.block_until_ready(solve(x))
+    print(f"artifact first call (compile) {time.time()-t0:.1f}s")
+    want = jax.block_until_ready(
+        jax.jit(
+            lambda xi: mpc_solve(config, xi, cost, dx, u_lower=-2.0, u_upper=2.0)
+        )(x)
+    )
+    du = float(jnp.max(jnp.abs(got.us - want.us)))
+    dobj = float(jnp.max(jnp.abs(got.objs - want.objs)))
+    n_timed = 20
+    t0 = time.time()
+    for _ in range(n_timed):
+        r = solve(x)
+    jax.block_until_ready(r)
+    dt = (time.time() - t0) / n_timed
+    print(
+        f"max|du|={du:.2e} max|dobj|={dobj:.2e} "
+        f"artifact solve {dt*1e3:.2f} ms/batch "
+        f"({B/dt:,.0f} solves/s incl. dispatch)"
+    )
+    assert du <= 1e-5 and dobj <= 1e-3, "artifact diverges from live solve"
+    print("PASS")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,123 @@
+"""AOT export/load of solve programs (diffmpc_tpu/aot.py).
+
+The serialized artifact must reproduce the live program exactly (same
+StableHLO → same numerics), expose the chosen runtime inputs positionally,
+and — at vjp_order>=1 — re-enter the serialized analytic KKT backward
+under jax.grad after a load in (conceptually) another process.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffmpc_tpu import MPCConfig, QuadCost, mpc_solve
+from diffmpc_tpu.aot import export_solve, load_solve
+from diffmpc_tpu.models import PendulumDx
+
+
+def _problem(B=8, T=6, lqr_iter=4):
+    dx = PendulumDx.default(jnp.float32)
+    q, p = dx.get_true_obj()
+    cost = QuadCost(jnp.diag(q), p)
+    config = MPCConfig(
+        n_state=3, n_ctrl=1, T=T, lqr_iter=lqr_iter, eps=1e-5,
+        exit_unconverged=False, detach_unconverged=False,
+        dtype=jnp.float32,
+    )
+    rng = np.random.default_rng(42)
+    th = rng.uniform(-np.pi, np.pi, B)
+    x = jnp.asarray(
+        np.stack([np.cos(th), np.sin(th), rng.uniform(-1, 1, B)], -1),
+        jnp.float32,
+    )
+    return config, cost, dx, x
+
+
+def test_roundtrip_matches_live_solve(tmp_path):
+    config, cost, dx, x = _problem()
+    blob = export_solve(config, cost, dx, B=x.shape[0],
+                        u_lower=-2.0, u_upper=2.0)
+    assert isinstance(blob, (bytes, bytearray))
+    # survive the artifact store (file write/read)
+    f = tmp_path / "solve.bin"
+    f.write_bytes(blob)
+    solve = load_solve(f.read_bytes())
+
+    got = solve(x)
+    want = mpc_solve(config, x, cost, dx, u_lower=-2.0, u_upper=2.0)
+    np.testing.assert_allclose(got.us, want.us, atol=1e-6)
+    np.testing.assert_allclose(got.objs, want.objs, atol=1e-5)
+    assert bool(jnp.all(got.us >= -2.0)) and bool(jnp.all(got.us <= 2.0))
+    # full MPCSolution pytree comes back, info included
+    np.testing.assert_array_equal(got.info.converged, want.info.converged)
+
+
+def test_warm_start_input_is_live(tmp_path):
+    """u_init must be a RUNTIME input: two different warm starts through
+    one artifact give the two live answers."""
+    config, cost, dx, x = _problem(lqr_iter=2)
+    blob = export_solve(config, cost, dx, B=x.shape[0],
+                        u_lower=-2.0, u_upper=2.0, warm_start=True)
+    solve = load_solve(blob)
+    u0 = jnp.zeros((config.T, x.shape[0], 1), jnp.float32)
+    u1 = jnp.full_like(u0, 0.5)
+    for u in (u0, u1):
+        got = solve(x, u)
+        want = mpc_solve(config, x, cost, dx, u_init=u,
+                         u_lower=-2.0, u_upper=2.0)
+        np.testing.assert_allclose(got.us, want.us, atol=1e-6)
+    assert float(jnp.max(jnp.abs(solve(x, u0).us - solve(x, u1).us))) > 0
+
+
+def test_params_input_and_grad_through_artifact():
+    """Serve a learned model: params are a runtime input and, with
+    vjp_order=1, jax.grad re-enters the serialized KKT backward — parity
+    with the live gradient (the sysid-through-the-artifact use)."""
+    config, cost, dx, x = _problem(lqr_iter=3)
+    blob = export_solve(
+        config, cost, dx, B=x.shape[0], u_lower=-2.0, u_upper=2.0,
+        params_input=True, vjp_order=1,
+    )
+    solve = load_solve(blob)
+
+    params = jnp.asarray(dx.params) * 1.1
+
+    def loss_aot(p):
+        return jnp.sum(solve(x, p).us ** 2)
+
+    def loss_live(p):
+        return jnp.sum(
+            mpc_solve(config, x, cost, dx.replace(params=p),
+                      u_lower=-2.0, u_upper=2.0).us ** 2
+        )
+
+    np.testing.assert_allclose(loss_aot(params), loss_live(params),
+                               rtol=1e-6)
+    g_aot = jax.grad(loss_aot)(params)
+    g_live = jax.grad(loss_live)(params)
+    np.testing.assert_allclose(g_aot, g_live, rtol=2e-4, atol=1e-6)
+
+
+def test_params_input_requires_params():
+    from diffmpc_tpu.types import LinDx
+
+    config, cost, dx, x = _problem()
+    T, B, n, m = config.T, x.shape[0], 3, 1
+    lin = LinDx(
+        jnp.zeros((T, B, n, n + m), jnp.float32),
+        jnp.zeros((T, B, n), jnp.float32),
+    )
+    with pytest.raises(ValueError, match="params_input"):
+        export_solve(config, cost, lin, B=B, params_input=True)
+
+
+def test_jit_and_introspection():
+    config, cost, dx, x = _problem(lqr_iter=2)
+    blob = export_solve(config, cost, dx, B=x.shape[0],
+                        u_lower=-2.0, u_upper=2.0)
+    solve = load_solve(blob)
+    # composes under an outer jit (serving loop pattern)
+    jitted = jax.jit(lambda xi: solve(xi).objs)
+    np.testing.assert_allclose(jitted(x), solve(x).objs, atol=1e-6)
+    assert solve.exported.in_avals  # introspection surface
