@@ -442,7 +442,11 @@ def mpc_solve(
         stats = dict(
             last_improvement=fr.last_improvement,
             alpha=fr.alpha,
-            clamp_frac=jnp.mean(at_bound.astype(dtype), axis=(0, 2)),
+            # clip for the same f32 mean-rounding reason as the XLA path's
+            # update below: the stat's domain is [0, 1]
+            clamp_frac=jnp.clip(
+                jnp.mean(at_bound.astype(dtype), axis=(0, 2)), 0.0, 1.0
+            ),
             qp_iters=fr.qp_iters,
         )
     else:
@@ -555,8 +559,18 @@ def mpc_solve(
                 last_improvement=jnp.where(act, improvement, s.last_improvement),
                 done=s.done | newly_done,
                 alpha=jnp.where(act, out.alpha, s.alpha),
+                # clip: XLA's mean is sum*(1/N) and 1/N is inexact in f32,
+                # so an all-free mask otherwise reads -1.5e-8 (caught by
+                # the knob-combination fuzz) — the stat's domain is [0, 1]
                 clamp_frac=jnp.where(
-                    act, 1.0 - jnp.mean(out.free_mask.astype(dtype), axis=(0, 2)), s.clamp_frac
+                    act,
+                    jnp.clip(
+                        1.0
+                        - jnp.mean(out.free_mask.astype(dtype), axis=(0, 2)),
+                        0.0,
+                        1.0,
+                    ),
+                    s.clamp_frac,
                 ),
                 qp_iters=jnp.where(
                     act, jnp.mean(out.n_qp_iter.astype(dtype), axis=0), s.qp_iters

@@ -224,3 +224,100 @@ def test_bench_convergence_is_iteration_budget_bound():
     assert frac40 > frac10 + 0.1, (frac10, frac40)
     # more iterations never worsen the best-tracked objective
     assert bool(jnp.all(sol40.objs <= sol10.objs + 1e-4))
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_knob_combination_fuzz(seed):
+    """Random KNOB COMBINATIONS (the axis the named tests don't cover:
+    interactions). Each seed draws a random subset of {bounds, u_init,
+    delta_u, slew_rate_penalty+prev_ctrl, u_zero_I, per-scenario params,
+    detach_unconverged, best_cost_eps} and asserts the invariants every
+    combination must satisfy: bounds respected, pinned dims zero, the
+    lqr_iter=1 trust region honored, stats sane, and (when differentiable)
+    finite gradients through the composed solve."""
+    import dataclasses
+
+    rng = np.random.default_rng(7100 + seed)
+    B, T, n, m = 6, 5, 3, 1
+    dx = PendulumDx.default(jnp.float32)
+    use_bounds = bool(rng.integers(0, 2))
+    use_warm = bool(rng.integers(0, 2))
+    use_delta = bool(rng.integers(0, 2))
+    use_slew = bool(rng.integers(0, 2))
+    use_zero = bool(rng.integers(0, 2)) and use_bounds  # u_zero_I needs box
+    use_bparams = bool(rng.integers(0, 2))
+    if use_bparams:
+        scale = jnp.asarray(
+            rng.uniform(0.9, 1.1, (B, 3)).astype(np.float32)
+        )
+        dx = dx.replace(params=jnp.asarray(dx.params) * scale)
+
+    q, p = PendulumDx.default(jnp.float32).get_true_obj()
+    cost = QuadCost(jnp.diag(q), p)
+    config = MPCConfig(
+        n_state=n, n_ctrl=m, T=T,
+        lqr_iter=1 if use_delta else int(rng.integers(2, 5)),
+        eps=1e-5,
+        delta_u=0.3 if use_delta else None,
+        slew_rate_penalty=float(rng.uniform(1e-3, 1e-1)) if use_slew else None,
+        best_cost_eps=float(rng.choice([1e-4, 1e-2])),
+        not_improved_lim=int(rng.integers(2, 6)),
+        exit_unconverged=False,
+        detach_unconverged=bool(rng.integers(0, 2)),
+        dtype=jnp.float32,
+    )
+    th = rng.uniform(-np.pi, np.pi, B)
+    x = jnp.asarray(
+        np.stack([np.cos(th), np.sin(th), rng.uniform(-1, 1, B)], -1),
+        jnp.float32,
+    )
+    bound = float(rng.uniform(0.5, 2.0))
+    lo, hi = (-bound, bound) if use_bounds else (None, None)
+    u_init = (
+        jnp.asarray(rng.uniform(-0.3, 0.3, (T, B, m)), jnp.float32)
+        if use_warm else None
+    )
+    u_zero_I = None
+    if use_zero:
+        u_zero_I = jnp.zeros((T, B, m), bool).at[T // 2].set(True)
+    prev = (
+        jnp.asarray(rng.uniform(-0.5, 0.5, (B, m)), jnp.float32)
+        if use_slew else None
+    )
+
+    sol = jax.jit(
+        lambda xi: mpc_solve(
+            config, xi, cost, dx, u_init=u_init, u_lower=lo, u_upper=hi,
+            prev_ctrl=prev, u_zero_I=u_zero_I,
+        )
+    )(x)
+
+    assert bool(jnp.all(jnp.isfinite(sol.xs)))
+    assert bool(jnp.all(jnp.isfinite(sol.us)))
+    assert bool(jnp.all(jnp.isfinite(sol.objs)))
+    if use_bounds:
+        assert bool(jnp.all(sol.us >= lo - 1e-6))
+        assert bool(jnp.all(sol.us <= hi + 1e-6))
+    if use_zero:
+        assert float(jnp.max(jnp.abs(sol.us[T // 2]))) <= 1e-6
+    if use_delta:
+        base = u_init if u_init is not None else jnp.zeros_like(sol.us)
+        assert float(jnp.max(jnp.abs(sol.us - base))) <= 0.3 + 1e-5
+    info = sol.info
+    assert int(info.n_iters) <= config.lqr_iter
+    assert bool(jnp.all((info.clamp_frac >= 0) & (info.clamp_frac <= 1)))
+    assert bool(jnp.all(info.mean_alpha <= 1.0 + 1e-6))
+    assert bool(jnp.all(info.qp_iters >= 0))
+
+    # every combination must stay differentiable (x_init + params)
+    def loss(xi, params):
+        d = dx.replace(params=params)
+        s = mpc_solve(
+            config, xi, cost, d, u_init=u_init, u_lower=lo, u_upper=hi,
+            prev_ctrl=prev, u_zero_I=u_zero_I,
+        )
+        return jnp.sum(s.us ** 2) + jnp.sum(s.objs)
+
+    gx, gp = jax.jit(jax.grad(loss, argnums=(0, 1)))(x, jnp.asarray(dx.params))
+    assert bool(jnp.all(jnp.isfinite(gx)))
+    assert bool(jnp.all(jnp.isfinite(gp)))
