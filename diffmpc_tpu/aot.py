@@ -58,12 +58,19 @@ def export_solve(
     params_input: bool = False,
     vjp_order: int = 0,
     platforms: Optional[list] = None,
+    mesh=None,
 ) -> bytes:
     """Serialize the solve program for batch size ``B`` to bytes.
 
     ``platforms`` passes through to ``jax.export.export`` (e.g.
     ``['tpu']`` to cross-lower from a CPU build host); default = the
     current backend.
+
+    ``mesh``: a 1-D ``jax.sharding.Mesh`` — exports the MULTI-DEVICE
+    program with the scenario batch (and any per-scenario ``(B, ...)``
+    parameter rows) sharded over its axis; the artifact records the
+    device count and runs on a same-shape mesh at load. Shared parameter
+    leaves are replicated.
     """
     T, n, m = config.T, config.n_state, config.n_ctrl
     dtype = config.dtype
@@ -75,10 +82,42 @@ def export_solve(
             u_lower=u_lower, u_upper=u_upper,
         )
 
-    x_s = jax.ShapeDtypeStruct((B, n), dtype)
-    u_s = jax.ShapeDtypeStruct((T, B, m), dtype)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        axis = mesh.axis_names[0]
+
+        def _shard(shape):
+            # batch-dim-0 sharded for (B, ...) leaves, replicated otherwise
+            spec = (
+                PartitionSpec(axis)
+                if len(shape) >= 1 and shape[0] == B
+                else PartitionSpec()
+            )
+            return NamedSharding(mesh, spec)
+
+        def _sds(shape, dt):
+            return jax.ShapeDtypeStruct(shape, dt, sharding=_shard(shape))
+    else:
+
+        def _sds(shape, dt):
+            return jax.ShapeDtypeStruct(shape, dt)
+
+    x_s = _sds((B, n), dtype)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        # u_init is (T, B, m): batch on dim 1
+        u_s = jax.ShapeDtypeStruct(
+            (T, B, m), dtype,
+            sharding=NamedSharding(
+                mesh, PartitionSpec(None, mesh.axis_names[0])
+            ),
+        )
+    else:
+        u_s = jax.ShapeDtypeStruct((T, B, m), dtype)
     p_s = jax.tree.map(
-        lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.asarray(a).dtype),
+        lambda a: _sds(jnp.shape(a), jnp.asarray(a).dtype),
         getattr(dx, "params", None),
     )
     if params_input and p_s is None:
