@@ -64,7 +64,12 @@ def export_solve(
 
     ``platforms`` passes through to ``jax.export.export`` (e.g.
     ``['tpu']`` to cross-lower from a CPU build host); default = the
-    current backend.
+    current backend. Cross-lowering for a pure-TPU target forces the
+    fused Pallas dispatch: ``use_pallas=None`` resolves from the devices
+    in the computation, which on a CPU build host would silently bake
+    the (correct but far slower) XLA orchestration into the TPU artifact
+    — verified on hardware that the CPU-built fused artifact is bitwise
+    identical to the chip-built one (scripts/check_aot_tpu.py).
 
     ``mesh``: a 1-D ``jax.sharding.Mesh`` — exports the MULTI-DEVICE
     program with the scenario batch (and any per-scenario ``(B, ...)``
@@ -72,6 +77,14 @@ def export_solve(
     device count and runs on a same-shape mesh at load. Shared parameter
     leaves are replicated.
     """
+    if (
+        platforms is not None
+        and config.use_pallas is None
+        and all(str(p).lower() == "tpu" for p in platforms)
+    ):
+        import dataclasses
+
+        config = dataclasses.replace(config, use_pallas=True)
     T, n, m = config.T, config.n_state, config.n_ctrl
     dtype = config.dtype
 

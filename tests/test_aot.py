@@ -152,3 +152,33 @@ def test_mesh_export_multi_device(tmp_path):
     want = mpc_solve(config, x, cost, dxb, u_lower=-2.0, u_upper=2.0)
     np.testing.assert_allclose(got.us, want.us, atol=1e-5)
     np.testing.assert_allclose(got.objs, want.objs, atol=1e-4)
+
+
+def test_cross_platform_tpu_export_bakes_fused_dispatch():
+    """Build-host story: platforms=['tpu'] on a CPU host must cross-lower
+    the FUSED program (use_pallas=None resolves from the host's devices,
+    which would silently bake the slow XLA orchestration into the TPU
+    artifact — the auto-force in export_solve closes that trap). Pinned
+    by the Mosaic custom-call in the artifact's StableHLO; execution on
+    hardware is verified by scripts/check_aot_tpu.py."""
+    from jax import export as jexport
+
+    config, cost, dx, x = _problem(B=1024, T=10, lqr_iter=3)
+    # Mosaic lowering rejects the f64 weak-type constants the suite's
+    # x64 mode introduces (the TPU backend is f32-only — CLAUDE.md);
+    # a real build host exports with x64 off, so the test does too.
+    jax.config.update("jax_enable_x64", False)
+    try:
+        blob = export_solve(
+            config, cost, dx, B=1024, u_lower=-2.0, u_upper=2.0,
+            platforms=["tpu"],
+        )
+    finally:
+        jax.config.update("jax_enable_x64", True)
+    exp = jexport.deserialize(blob)
+    assert exp.platforms == ("tpu",)
+    mlir = exp.mlir_module()
+    assert "tpu_custom_call" in mlir, (
+        "cross-lowered TPU artifact does not contain the Mosaic kernel — "
+        "the XLA orchestration was baked instead"
+    )
