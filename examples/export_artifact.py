@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Build and run AOT solve artifacts (the deployment workflow).
+
+Build host (any machine, CPU is fine):
+    python export_artifact.py build --env pendulum --batch 1024 \
+        --target tpu --out solve.bin
+Serving host (loads WITHOUT the config/model code paths below):
+    python export_artifact.py run solve.bin --reps 20
+
+The artifact bakes config + cost + dynamics + bounds + batch shape
+(`diffmpc_tpu.aot.export_solve`); `--target tpu` cross-lowers the fused
+Pallas program from a CPU build host. `--warm-start` adds the u_init
+runtime input (receding-horizon serving); `--params-input` leaves the
+dynamics parameters as a runtime input (serve learned models without
+re-exporting).
+"""
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import common  # noqa: F401,E402 — sys.path bootstrap (run from a clean shell)
+from diffmpc_tpu import MPCConfig, QuadCost
+from diffmpc_tpu.aot import export_solve, load_solve
+from diffmpc_tpu.models import CartpoleDx, PendulumDx
+
+from common import random_cartpole_x_init, random_pendulum_x_init
+
+ENVS = {
+    "pendulum": (PendulumDx, 3, 1, (-2.0, 2.0), random_pendulum_x_init),
+    "cartpole": (CartpoleDx, 5, 1, (-10.0, 10.0), random_cartpole_x_init),
+}
+
+
+def build(args):
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    cls, n, m, (lo, hi), _ = ENVS[args.env]
+    dx = cls.default(jnp.float32)
+    q, p = dx.get_true_obj()
+    cost = QuadCost(jnp.diag(q), p)
+    config = MPCConfig(
+        n_state=n, n_ctrl=m, T=args.horizon, lqr_iter=args.lqr_iter,
+        eps=1e-5, exit_unconverged=False, detach_unconverged=False,
+        dtype=jnp.float32,
+    )
+    t0 = time.time()
+    blob = export_solve(
+        config, cost, dx, B=args.batch, u_lower=lo, u_upper=hi,
+        warm_start=args.warm_start, params_input=args.params_input,
+        vjp_order=args.vjp_order,
+        platforms=[args.target] if args.target else None,
+    )
+    with open(args.out, "wb") as f:
+        f.write(blob)
+    print(
+        f"wrote {args.out}: {len(blob)/1e6:.3f} MB in {time.time()-t0:.1f}s "
+        f"(env={args.env} B={args.batch} T={args.horizon} "
+        f"target={args.target or jax.default_backend()} "
+        f"warm_start={args.warm_start} params_input={args.params_input})"
+    )
+
+
+def run(args):
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    solve = load_solve(open(args.artifact, "rb").read())
+    exp = solve.exported
+    print(
+        f"artifact platforms={exp.platforms} nr_devices={exp.nr_devices} "
+        f"inputs={[str(a.shape) for a in exp.in_avals]}"
+    )
+    x_aval = exp.in_avals[0]
+    B, n = x_aval.shape
+    # env inferred from the state dim for input generation only — the
+    # solve itself is entirely inside the artifact
+    gen = {3: random_pendulum_x_init, 5: random_cartpole_x_init}.get(n)
+    if gen is None:
+        raise SystemExit(f"no input generator for n_state={n}")
+    x = gen(B, args.seed, jnp.float32)
+    inputs = [x]
+    if len(exp.in_avals) > 1:  # warm-start input
+        inputs.append(jnp.zeros(exp.in_avals[1].shape, jnp.float32))
+    t0 = time.time()
+    sol = jax.block_until_ready(solve(*inputs))
+    print(f"first call {time.time()-t0:.1f}s; mean obj "
+          f"{float(jnp.mean(sol.objs)):.4f}, converged "
+          f"{float(jnp.mean(sol.info.converged)):.2f}")
+    t0 = time.time()
+    for _ in range(args.reps):
+        r = solve(*inputs)
+    jax.block_until_ready(r)
+    dt = (time.time() - t0) / args.reps
+    print(f"{dt*1e3:.2f} ms/batch ({B/dt:,.0f} solves/s incl. dispatch)")
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    b = sub.add_parser("build", help="export an artifact")
+    b.add_argument("--env", choices=sorted(ENVS), default="pendulum")
+    b.add_argument("--batch", type=int, default=1024)
+    b.add_argument("--horizon", type=int, default=20)
+    b.add_argument("--lqr-iter", type=int, default=10)
+    b.add_argument("--target", default=None,
+                   help="lowering platform (e.g. tpu); default = current")
+    b.add_argument("--warm-start", action="store_true")
+    b.add_argument("--params-input", action="store_true")
+    b.add_argument("--vjp-order", type=int, default=0)
+    b.add_argument("--cpu", action="store_true")
+    b.add_argument("--out", default="solve.bin")
+    b.set_defaults(fn=build)
+    r = sub.add_parser("run", help="load + benchmark an artifact")
+    r.add_argument("artifact")
+    r.add_argument("--reps", type=int, default=20)
+    r.add_argument("--seed", type=int, default=0)
+    r.add_argument("--cpu", action="store_true")
+    r.set_defaults(fn=run)
+    args = ap.parse_args()
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

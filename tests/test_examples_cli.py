@@ -12,6 +12,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 EXAMPLES = os.path.join(REPO, "examples")
 
 ALL_EXAMPLES = [
+    "export_artifact.py",
     "gen_expert_data.py",
     "il_cartpole.py",
     "il_nn_dynamics.py",
@@ -84,3 +85,27 @@ def test_receding_mpc_runs_end_to_end_without_pythonpath(tmp_path):
     assert res.returncode == 0, res.stderr[-2000:]
     assert "success_frac" in res.stdout
     assert (tmp_path / "receding.csv").exists()
+
+
+def test_export_artifact_build_then_run_without_pythonpath(tmp_path):
+    """The deployment workflow CLI: build writes a loadable artifact, run
+    loads it blind (no env/config flags) and solves."""
+    art = str(tmp_path / "solve.bin")
+    res = subprocess.run(
+        [
+            sys.executable, "export_artifact.py", "build", "--cpu",
+            "--env", "pendulum", "--batch", "8", "--horizon", "6",
+            "--lqr-iter", "3", "--warm-start", "--out", art,
+        ],
+        cwd=EXAMPLES, env=_clean_env(), capture_output=True, text=True,
+        timeout=600,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    res = subprocess.run(
+        [sys.executable, "export_artifact.py", "run", art, "--cpu",
+         "--reps", "2"],
+        cwd=EXAMPLES, env=_clean_env(), capture_output=True, text=True,
+        timeout=600,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "solves/s" in res.stdout
