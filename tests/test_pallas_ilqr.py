@@ -693,3 +693,74 @@ def test_rollout_kernel_rolled_ladder_matches_unrolled():
         np.asarray(outs[True].alpha), np.asarray(outs[False].alpha),
         rtol=1e-5,
     )
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fused_knob_combination_fuzz_vs_xla(seed):
+    """Knob-INTERACTION fuzz through the mega-kernel (the shape fuzz above
+    varies layouts; this varies the knob subset): random combinations of
+    {warm start, delta_u, u_zero_I, per-scenario params} in box mode at
+    lqr_iter=1 / eps=0 (deterministic fixed-trip semantics) must match the
+    XLA path tightly, through the real mpc_solve dispatch (B >= 512 so the
+    fused path actually engages — CLAUDE.md test-honesty rule)."""
+    from diffmpc_tpu.mpc import _would_use_fused
+
+    rng = np.random.default_rng(8200 + seed)
+    B, T = 512, 6
+    dx = PendulumDx.default(jnp.float32)
+    use_warm = bool(rng.integers(0, 2))
+    use_delta = bool(rng.integers(0, 2))
+    use_zero = bool(rng.integers(0, 2))
+    use_bparams = bool(rng.integers(0, 2))
+    if use_bparams:
+        dx = dx.replace(
+            params=jnp.asarray(dx.params)
+            * jnp.asarray(rng.uniform(0.95, 1.05, (B, 3)), jnp.float32)
+        )
+    q, p = PendulumDx.default(jnp.float32).get_true_obj()
+    C = jnp.broadcast_to(jnp.diag(q), (T, B, 4, 4)).astype(jnp.float32)
+    c = jnp.broadcast_to(p, (T, B, 4)).astype(jnp.float32)
+    th = rng.uniform(-np.pi, np.pi, B)
+    x = jnp.asarray(
+        np.stack([np.cos(th), np.sin(th), rng.uniform(-1, 1, B)], -1),
+        jnp.float32,
+    )
+    u_init = (
+        jnp.asarray(rng.uniform(-0.5, 0.5, (T, B, 1)), jnp.float32)
+        if use_warm else None
+    )
+    u_zero_I = (
+        jnp.zeros((T, B, 1), bool).at[T // 2].set(True) if use_zero else None
+    )
+    kw = dict(
+        n_state=3, n_ctrl=1, T=T, lqr_iter=1, eps=0.0,
+        not_improved_lim=10**6, exit_unconverged=False,
+        detach_unconverged=False,
+        delta_u=0.4 if use_delta else None, dtype=jnp.float32,
+    )
+    config_p = MPCConfig(**kw, use_pallas=True, pallas_interpret=True)
+    config_x = MPCConfig(**kw, use_pallas=False)
+    assert _would_use_fused(
+        config_p, B, dx, is_quad=True, constrained=True, is_lin=False
+    )
+
+    def run(cfg):
+        return jax.jit(
+            lambda xi: mpc_solve(
+                cfg, xi, QuadCost(C, c), dx, u_init=u_init,
+                u_lower=-2.0, u_upper=2.0, u_zero_I=u_zero_I,
+            )
+        )(x)
+
+    got, want = run(config_p), run(config_x)
+    np.testing.assert_allclose(
+        np.asarray(got.us), np.asarray(want.us), atol=5e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.objs), np.asarray(want.objs), rtol=2e-4, atol=2e-4,
+    )
+    if use_zero:
+        assert float(jnp.max(jnp.abs(got.us[T // 2]))) <= 1e-6
+    if use_delta:
+        base = u_init if u_init is not None else jnp.zeros_like(got.us)
+        assert float(jnp.max(jnp.abs(got.us - base))) <= 0.4 + 1e-5
