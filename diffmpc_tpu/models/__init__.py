@@ -5,11 +5,13 @@ from .dynamics import (
     NNDynamics,
     autodiff_grad_input,
 )
+from .envs.acrobot import AcrobotDx
 from .envs.cartpole import CartpoleDx
 from .envs.pendulum import PendulumDx
 from .envs.quadrotor import QuadrotorDx
 
 __all__ = [
+    "AcrobotDx",
     "AffineDynamics",
     "CartpoleDx",
     "CtrlPassthroughDynamics",
