@@ -41,3 +41,22 @@ def random_cartpole_x_init(B, seed=0, dtype=jnp.float32):
     return jnp.asarray(
         np.stack([p, pdot, np.cos(th), np.sin(th), thdot], -1), dtype
     )
+
+
+def random_acrobot_x_init(B, seed=0, dtype=jnp.float32, scale=0.05):
+    """Near-upright perturbations (the balance task — the upright pole is
+    ~7 rad/s unstable, see AcrobotDx's docstring)."""
+    rng = np.random.default_rng(seed)
+    th1 = rng.uniform(-scale, scale, B)
+    th2 = rng.uniform(-scale, scale, B)
+    return jnp.asarray(
+        np.stack(
+            [
+                np.cos(th1), np.sin(th1), np.cos(th2), np.sin(th2),
+                rng.uniform(-scale, scale, B),
+                rng.uniform(-scale, scale, B),
+            ],
+            -1,
+        ),
+        dtype,
+    )

@@ -13,15 +13,22 @@ import numpy as np
 
 import common  # noqa: F401,E402 — sys.path bootstrap (run examples from a clean shell)
 from diffmpc_tpu import MPCConfig, QuadCost
-from diffmpc_tpu.models import CartpoleDx, PendulumDx
+from diffmpc_tpu.models import AcrobotDx, CartpoleDx, PendulumDx
 from diffmpc_tpu.parallel import generate_expert_data
 
-from common import random_cartpole_x_init, random_pendulum_x_init
+from common import (
+    random_acrobot_x_init,
+    random_cartpole_x_init,
+    random_pendulum_x_init,
+)
 
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--env", choices=["pendulum", "cartpole"], default="pendulum")
+    ap.add_argument(
+        "--env", choices=["pendulum", "cartpole", "acrobot"],
+        default="pendulum",
+    )
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--horizon", type=int, default=20)
     ap.add_argument("--lqr-iter", type=int, default=10)
@@ -37,11 +44,16 @@ def main():
         x_init = random_pendulum_x_init(args.batch, args.seed)
         u_lim = 2.0
         n, m = 3, 1
-    else:
+    elif args.env == "cartpole":
         dx = CartpoleDx.default()
         x_init = random_cartpole_x_init(args.batch, args.seed)
         u_lim = 10.0
         n, m = 5, 1
+    else:  # acrobot: near-upright balance experts (dt=0.01 model)
+        dx = AcrobotDx.default()
+        x_init = random_acrobot_x_init(args.batch, args.seed)
+        u_lim = 4.0
+        n, m = 6, 1
 
     q, p = dx.get_true_obj()
     cost = QuadCost(jnp.diag(q), p)

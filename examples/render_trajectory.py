@@ -14,13 +14,14 @@ import numpy as np
 
 import common  # noqa: F401,E402 — sys.path bootstrap (run examples from a clean shell)
 from diffmpc_tpu import MPCConfig, QuadCost, run_receding_horizon
-from diffmpc_tpu.models import CartpoleDx, PendulumDx, QuadrotorDx
+from diffmpc_tpu.models import AcrobotDx, CartpoleDx, PendulumDx, QuadrotorDx
 
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument(
-        "--env", choices=["pendulum", "cartpole", "quadrotor"], default="pendulum"
+        "--env", choices=["pendulum", "cartpole", "quadrotor", "acrobot"],
+        default="pendulum"
     )
     ap.add_argument("--steps", type=int, default=80)
     ap.add_argument("--horizon", type=int, default=15)
@@ -48,13 +49,22 @@ def main():
             [[0.0, 0.0, np.cos(args.theta0), np.sin(args.theta0), 0.0]], jnp.float32
         )
         n, m, u_lo, u_hi = 5, 1, -10.0, 10.0
-    else:
+    elif args.env == "quadrotor":
         dx = QuadrotorDx.default()
         # displaced + tilted hover recovery; asymmetric thrust box 0..max
         x0 = jnp.asarray(
             [[0.5, 0.5, args.theta0 / 2, 0.0, 0.0, 0.0]], jnp.float32
         )
         n, m, u_lo, u_hi = 6, 2, 0.0, dx.max_thrust
+    else:  # acrobot: balance recovery from a small tilt (dt=0.01 model —
+        # pass a longer --horizon, e.g. 40, for a 0.4 s plan)
+        dx = AcrobotDx.default()
+        t0 = args.theta0 / 4
+        x0 = jnp.asarray(
+            [[np.cos(t0), np.sin(t0), np.cos(-t0), np.sin(-t0), 0.0, 0.0]],
+            jnp.float32,
+        )
+        n, m, u_lo, u_hi = 6, 1, -4.0, 4.0
 
     q, p = dx.get_true_obj()
     cost = QuadCost(jnp.diag(q), p)
