@@ -213,3 +213,48 @@ def test_sysid_gradients_flow():
     g = jax.jit(jax.grad(loss))(jnp.asarray(dx.params))
     assert bool(jnp.all(jnp.isfinite(g)))
     assert float(jnp.max(jnp.abs(g))) > 0.0
+
+
+def test_sysid_recovers_toward_truth():
+    """Imitation-learning surface (eval-config-3 analog): a 20%-perturbed
+    model trained on near-upright balance experts recovers most of the
+    parameter error — loss drops >10x and the param distance shrinks
+    (exact recovery is identifiability-limited in this regime, like the
+    quadrotor's)."""
+    import optax
+
+    dx, cost, config = _setup(25, 64, lqr_iter=10)
+    config = dataclasses.replace(config, detach_unconverged=True)
+    x0 = _x_init(64, seed=0, th_scale=0.08, om_scale=0.2)
+    u_exp = mpc_solve(config, x0, cost, dx, u_lower=-4.0, u_upper=4.0).us
+
+    rng = np.random.default_rng(0)
+    params0 = jnp.asarray(
+        np.asarray(dx.params) * rng.uniform(0.8, 1.2, 4), jnp.float32
+    )
+
+    def loss(params):
+        sol = mpc_solve(
+            config, x0, cost, dx.replace(params=params),
+            u_lower=-4.0, u_upper=4.0,
+        )
+        return jnp.mean((sol.us - u_exp) ** 2)
+
+    opt = optax.adam(2e-2)
+    st = opt.init(params0)
+    prm = params0
+    lg = jax.jit(jax.value_and_grad(loss))
+    l0 = float(lg(prm)[0])
+    for _ in range(25):
+        l, g = lg(prm)
+        up, st = opt.update(g, st)
+        prm = optax.apply_updates(prm, up)
+    l1 = float(lg(prm)[0])
+    true = np.asarray(dx.params)
+    d0 = np.linalg.norm(np.asarray(params0) - true)
+    d1 = np.linalg.norm(np.asarray(prm) - true)
+    assert l1 < 0.1 * l0, (l0, l1)
+    # 0.7: the near-upright balance data identifies the torque-relevant
+    # combinations, not all four params individually (measured 0.54x at
+    # this seed; the strong claim is the 10x control-MSE drop above)
+    assert d1 < 0.7 * d0, (d0, d1)
