@@ -101,10 +101,12 @@ def export_solve(
         axis = mesh.axis_names[0]
 
         def _shard(shape):
-            # batch-dim-0 sharded for (B, ...) leaves, replicated otherwise
+            # batch-dim-0 sharded for per-scenario (B, ...) leaves; ndim
+            # >= 2 so a shared 1-D param vector that HAPPENS to have
+            # length B (e.g. 4 params at B=4) stays replicated
             spec = (
                 PartitionSpec(axis)
-                if len(shape) >= 1 and shape[0] == B
+                if len(shape) >= 2 and shape[0] == B
                 else PartitionSpec()
             )
             return NamedSharding(mesh, spec)
