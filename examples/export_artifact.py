@@ -82,8 +82,19 @@ def run(args):
         raise SystemExit(f"no input generator for n_state={n}")
     x = gen(B, args.seed, jnp.float32)
     inputs = [x]
-    if len(exp.in_avals) > 1:  # warm-start input
-        inputs.append(jnp.zeros(exp.in_avals[1].shape, jnp.float32))
+    for aval in exp.in_avals[1:]:
+        if aval.ndim == 3:  # warm-start u_init (T, B, m): cold start
+            inputs.append(jnp.zeros(aval.shape, jnp.float32))
+        else:  # dynamics params — cannot be guessed (zeros = zero masses)
+            if args.params is None:
+                raise SystemExit(
+                    "artifact was built with --params-input: pass "
+                    f"--params v1,v2,... matching shape {aval.shape}"
+                )
+            vals = jnp.asarray(
+                [float(v) for v in args.params.split(",")], jnp.float32
+            )
+            inputs.append(jnp.broadcast_to(vals, aval.shape))
     t0 = time.time()
     sol = jax.block_until_ready(solve(*inputs))
     print(f"first call {time.time()-t0:.1f}s; mean obj "
@@ -117,6 +128,10 @@ def main():
     r.add_argument("artifact")
     r.add_argument("--reps", type=int, default=20)
     r.add_argument("--seed", type=int, default=0)
+    r.add_argument(
+        "--params", default=None,
+        help="comma-separated dynamics params for --params-input artifacts",
+    )
     r.add_argument("--cpu", action="store_true")
     r.set_defaults(fn=run)
     args = ap.parse_args()
