@@ -119,18 +119,16 @@ def export_solve(
             return jax.ShapeDtypeStruct(shape, dt)
 
     x_s = _sds((B, n), dtype)
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec
-
-        # u_init is (T, B, m): batch on dim 1
-        u_s = jax.ShapeDtypeStruct(
-            (T, B, m), dtype,
-            sharding=NamedSharding(
-                mesh, PartitionSpec(None, mesh.axis_names[0])
-            ),
-        )
-    else:
-        u_s = jax.ShapeDtypeStruct((T, B, m), dtype)
+    u_s = None
+    if warm_start:
+        if mesh is not None:
+            # u_init is (T, B, m): batch on dim 1
+            u_s = jax.ShapeDtypeStruct(
+                (T, B, m), dtype,
+                sharding=NamedSharding(mesh, PartitionSpec(None, axis)),
+            )
+        else:
+            u_s = jax.ShapeDtypeStruct((T, B, m), dtype)
     p_s = jax.tree.map(
         lambda a: _sds(jnp.shape(a), jnp.asarray(a).dtype),
         getattr(dx, "params", None),

@@ -64,7 +64,10 @@ def initialize(
             pass
         except RuntimeError as e:
             msg = str(e).lower()
-            if "already initialized" in msg:
+            # JAX's actual re-entry message is "distributed.initialize
+            # should only be called once." (jax/_src/distributed.py);
+            # "already initialized" is kept for older/newer phrasings.
+            if "already initialized" in msg or "only be called once" in msg:
                 pass  # idempotent re-entry
             elif "before any jax calls" in msg:
                 # Backends already live: on a laptop this is the benign

@@ -54,7 +54,11 @@ def main():
     fns = {}
     orig = R.VALUE_UPDATE_EXACT_REG
     try:
-        for vname, bound in (("simplified", orig), ("full", -1.0)):
+        # explicit bindings: after fd07c1e the module default is -1.0
+        # (full form), so binding `orig` for the simplified arm would
+        # measure full-vs-full (round-4 review catch, same fix as
+        # ab_value_update.py)
+        for vname, bound in (("simplified", 1e-6), ("full", -1.0)):
             R.VALUE_UPDATE_EXACT_REG = bound
             t0 = time.perf_counter()
             compiled = make().lower(*args).compile()

@@ -41,9 +41,12 @@ def main():
     # Warm start: the receding-horizon pattern — re-solve from the rolled
     # control plan of a converged reference solve (same protocol as
     # bench.py's warm block).
+    # (round-4 review catch: this lambda used config0 — lqr_iter=10 — so
+    # the recorded 2026-08-20 table's warm rows were seeded from a 10-iter
+    # solve, not the converged 30-iter one; fixed and re-measured)
     ref_cfg = dataclasses.replace(config0, lqr_iter=30)
     ref = jax.jit(
-        lambda x: mpc_solve(config0, x, cost, dx, u_lower=-2.0, u_upper=2.0).us
+        lambda x: mpc_solve(ref_cfg, x, cost, dx, u_lower=-2.0, u_upper=2.0).us
     )(x0)
     u_warm = jnp.roll(jax.block_until_ready(ref), -1, axis=0)
 

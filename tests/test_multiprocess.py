@@ -140,8 +140,10 @@ def test_two_process_dp_train_step_matches_single_process():
 def test_initialize_explicit_args_raise_on_inconsistency():
     """Explicit-argument ``initialize()`` must FAIL LOUDLY (VERDICT r3 weak
     #6): a bad topology must never silently degrade to single-process and
-    compute un-psummed gradients. Incomplete arg sets raise instead of
-    falling through to the swallowed auto-discovery path."""
+    compute un-psummed gradients. In THIS process JAX backends are already
+    live, so any explicit call raises the backends-live error — still
+    loud, but it exercises call-ordering, not argument validation; the
+    fresh-process variant below pins the validation path itself."""
     from diffmpc_tpu.parallel import distributed
 
     with pytest.raises(Exception):
@@ -150,6 +152,55 @@ def test_initialize_explicit_args_raise_on_inconsistency():
         distributed.initialize(process_id=1)
     with pytest.raises(Exception):
         distributed.initialize(num_processes=2)
+
+
+def test_initialize_fresh_process_arg_validation_and_reentry():
+    """The contracts only a FRESH interpreter can exercise (JAX validates
+    arguments before touching backends only when none are initialized):
+    (a) incomplete explicit args raise the coordinator-address validation
+    error, not the backends-live error; (b) after a successful 1-process
+    explicit join, the auto-discovery re-entry is the documented
+    idempotent no-op (JAX raises 'should only be called once', which
+    initialize() must swallow — a round-4 review found the old matcher
+    only knew 'already initialized' and crashed here)."""
+    code = """
+import sys
+from diffmpc_tpu.parallel import distributed
+
+# (a) incomplete explicit args in a fresh process: validation error
+try:
+    distributed.initialize(num_processes=2, process_id=0)
+    print("NO_RAISE")
+    sys.exit(1)
+except Exception as e:
+    assert "coordinator" in str(e).lower(), repr(e)
+    print("ARG_VALIDATION_OK")
+
+# (b) real join then re-entry: no-op, same index
+import socket
+s = socket.socket()
+s.bind(("127.0.0.1", 0))
+port = s.getsockname()[1]
+s.close()
+idx = distributed.initialize(
+    coordinator_address=f"127.0.0.1:{port}", num_processes=1, process_id=0
+)
+assert idx == 0, idx
+assert distributed.initialize() == 0
+print("REENTRY_OK")
+"""
+    if not _sockets_allowed():
+        pytest.skip("sandbox forbids sockets")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    res = subprocess.run(
+        [sys.executable, "-c", code],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "ARG_VALIDATION_OK" in res.stdout
+    assert "REENTRY_OK" in res.stdout
 
 
 def test_initialize_auto_path_is_noop_without_cluster():
