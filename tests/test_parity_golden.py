@@ -248,3 +248,41 @@ def test_quadrotor_solve_golden_regression():
     )
     np.testing.assert_allclose(np.asarray(sol.us), g["us"], atol=1e-4)
     np.testing.assert_allclose(np.asarray(sol.objs), g["objs"], atol=1e-5)
+
+
+def test_acrobot_solve_golden_regression():
+    """Regression pin for the mass-matrix env: the acrobot near-upright
+    balance solve's controls frozen as a golden (generated by this solver,
+    f64, CPU) — catches any future drift in the configuration-dependent
+    dynamics or its linearization."""
+    from diffmpc_tpu.models import AcrobotDx
+
+    B, T = 16, 40
+    dx = AcrobotDx.default(jnp.float64)
+    q, p = dx.get_true_obj()
+    cost = QuadCost(jnp.diag(q), p)
+    rng = np.random.default_rng(881)
+    th1 = rng.uniform(-0.05, 0.05, B)
+    th2 = rng.uniform(-0.05, 0.05, B)
+    x_init = jnp.asarray(
+        np.stack(
+            [np.cos(th1), np.sin(th1), np.cos(th2), np.sin(th2),
+             rng.uniform(-0.05, 0.05, B), rng.uniform(-0.05, 0.05, B)],
+            -1,
+        ),
+        jnp.float64,
+    )
+    config = MPCConfig(
+        n_state=6, n_ctrl=1, T=T, lqr_iter=15, eps=0.0,
+        not_improved_lim=10**6, exit_unconverged=False,
+        detach_unconverged=False, dtype=jnp.float64,
+    )
+    sol = jax.jit(
+        lambda x: mpc_solve(config, x, cost, dx, u_lower=-4.0, u_upper=4.0)
+    )(x_init)
+    g = _golden(
+        "acrobot_T40B16_f64",
+        lambda: dict(us=np.asarray(sol.us), objs=np.asarray(sol.objs)),
+    )
+    np.testing.assert_allclose(np.asarray(sol.us), g["us"], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(sol.objs), g["objs"], atol=1e-5)
