@@ -154,134 +154,83 @@ def test_box_ddp_parity_vs_independent_oracle_golden():
     np.testing.assert_allclose(np.asarray(us), g["us"], atol=1e-4)
 
 
-def test_pendulum_solve_golden_regression():
-    """Regression pin: the full nonlinear pendulum solve's controls are
-    frozen as a golden file (generated by this very solver, f64, CPU) —
-    catches unintended behavior drift across refactors/kernels."""
-    B, T = 16, 20
-    dx = PendulumDx.default(jnp.float64)
-    q, p = dx.get_true_obj()
-    cost = QuadCost(jnp.diag(q), p)
+def _pendulum_golden_case():
     rng = np.random.default_rng(777)
-    th = rng.uniform(-np.pi, np.pi, B)
-    x_init = jnp.asarray(
-        np.stack([np.cos(th), np.sin(th), rng.uniform(-1, 1, B)], -1), jnp.float64
-    )
-    config = MPCConfig(
-        n_state=3, n_ctrl=1, T=T, lqr_iter=15, eps=0.0, not_improved_lim=10**6,
-        exit_unconverged=False, detach_unconverged=False, dtype=jnp.float64,
-    )
-    sol = jax.jit(lambda x: mpc_solve(config, x, cost, dx, u_lower=-2.0, u_upper=2.0))(
-        x_init
-    )
-    g = _golden(
-        "pendulum_T20B16_f64",
-        lambda: dict(us=np.asarray(sol.us), objs=np.asarray(sol.objs)),
-    )
-    np.testing.assert_allclose(np.asarray(sol.us), g["us"], atol=1e-4)
-    np.testing.assert_allclose(np.asarray(sol.objs), g["objs"], atol=1e-5)
+    th = rng.uniform(-np.pi, np.pi, 16)
+    x = np.stack([np.cos(th), np.sin(th), rng.uniform(-1, 1, 16)], -1)
+    return PendulumDx.default(jnp.float64), x, 3, 1, 20, (-2.0, 2.0)
 
 
-def test_cartpole_solve_golden_regression():
-    """Regression pin for the n=5 env: cartpole balance solve's controls
-    frozen as a golden (generated by this solver, f64, CPU)."""
+def _cartpole_golden_case():
     from diffmpc_tpu.models import CartpoleDx
 
-    B, T = 16, 20
-    dx = CartpoleDx.default(jnp.float64)
-    q, p = dx.get_true_obj()
-    cost = QuadCost(jnp.diag(q), p)
     rng = np.random.default_rng(779)
-    th = rng.uniform(-0.3, 0.3, B)
-    x_init = jnp.asarray(
-        np.stack(
-            [rng.uniform(-0.5, 0.5, B), rng.uniform(-0.5, 0.5, B),
-             np.cos(th), np.sin(th), rng.uniform(-0.5, 0.5, B)], -1,
-        ),
-        jnp.float64,
+    th = rng.uniform(-0.3, 0.3, 16)
+    x = np.stack(
+        [rng.uniform(-0.5, 0.5, 16), rng.uniform(-0.5, 0.5, 16),
+         np.cos(th), np.sin(th), rng.uniform(-0.5, 0.5, 16)], -1,
     )
-    config = MPCConfig(
-        n_state=5, n_ctrl=1, T=T, lqr_iter=15, eps=0.0, not_improved_lim=10**6,
-        exit_unconverged=False, detach_unconverged=False, dtype=jnp.float64,
-    )
-    sol = jax.jit(
-        lambda x: mpc_solve(config, x, cost, dx, u_lower=-10.0, u_upper=10.0)
-    )(x_init)
-    g = _golden(
-        "cartpole_T20B16_f64",
-        lambda: dict(us=np.asarray(sol.us), objs=np.asarray(sol.objs)),
-    )
-    np.testing.assert_allclose(np.asarray(sol.us), g["us"], atol=1e-4)
-    np.testing.assert_allclose(np.asarray(sol.objs), g["objs"], atol=1e-5)
+    return CartpoleDx.default(jnp.float64), x, 5, 1, 20, (-10.0, 10.0)
 
 
-def test_quadrotor_solve_golden_regression():
-    """Regression pin for the multi-control env: the planar-quadrotor
-    hover-recovery solve's controls frozen as a golden (generated by this
-    solver, f64, CPU) — the m=2 analog of the pendulum pin above."""
+def _quadrotor_golden_case():
     from diffmpc_tpu.models import QuadrotorDx
 
-    B, T = 16, 20
-    dx = QuadrotorDx.default(jnp.float64)
-    q, p = dx.get_true_obj()
-    cost = QuadCost(jnp.diag(q), p)
     rng = np.random.default_rng(778)
-    x_init = jnp.asarray(
-        np.stack(
-            [rng.uniform(-0.5, 0.5, B), rng.uniform(-0.5, 0.5, B),
-             rng.uniform(-0.3, 0.3, B), rng.uniform(-0.3, 0.3, B),
-             rng.uniform(-0.3, 0.3, B), rng.uniform(-0.3, 0.3, B)],
-            -1,
-        ),
-        jnp.float64,
+    x = np.stack(
+        [rng.uniform(-0.5, 0.5, 16), rng.uniform(-0.5, 0.5, 16),
+         rng.uniform(-0.3, 0.3, 16), rng.uniform(-0.3, 0.3, 16),
+         rng.uniform(-0.3, 0.3, 16), rng.uniform(-0.3, 0.3, 16)], -1,
     )
-    config = MPCConfig(
-        n_state=6, n_ctrl=2, T=T, lqr_iter=15, eps=0.0, not_improved_lim=10**6,
-        exit_unconverged=False, detach_unconverged=False, dtype=jnp.float64,
-    )
-    sol = jax.jit(
-        lambda x: mpc_solve(config, x, cost, dx, u_lower=0.0, u_upper=5.0)
-    )(x_init)
-    g = _golden(
-        "quadrotor_T20B16_f64",
-        lambda: dict(us=np.asarray(sol.us), objs=np.asarray(sol.objs)),
-    )
-    np.testing.assert_allclose(np.asarray(sol.us), g["us"], atol=1e-4)
-    np.testing.assert_allclose(np.asarray(sol.objs), g["objs"], atol=1e-5)
+    return QuadrotorDx.default(jnp.float64), x, 6, 2, 20, (0.0, 5.0)
 
 
-def test_acrobot_solve_golden_regression():
-    """Regression pin for the mass-matrix env: the acrobot near-upright
-    balance solve's controls frozen as a golden (generated by this solver,
-    f64, CPU) — catches any future drift in the configuration-dependent
-    dynamics or its linearization."""
+def _acrobot_golden_case():
     from diffmpc_tpu.models import AcrobotDx
 
-    B, T = 16, 40
-    dx = AcrobotDx.default(jnp.float64)
+    rng = np.random.default_rng(881)
+    th1 = rng.uniform(-0.05, 0.05, 16)
+    th2 = rng.uniform(-0.05, 0.05, 16)
+    x = np.stack(
+        [np.cos(th1), np.sin(th1), np.cos(th2), np.sin(th2),
+         rng.uniform(-0.05, 0.05, 16), rng.uniform(-0.05, 0.05, 16)], -1,
+    )
+    return AcrobotDx.default(jnp.float64), x, 6, 1, 40, (-4.0, 4.0)
+
+
+GOLDEN_ENV_CASES = {
+    "pendulum_T20B16_f64": _pendulum_golden_case,
+    "cartpole_T20B16_f64": _cartpole_golden_case,
+    "quadrotor_T20B16_f64": _quadrotor_golden_case,
+    "acrobot_T40B16_f64": _acrobot_golden_case,
+}
+
+
+@pytest.mark.parametrize("fixture", sorted(GOLDEN_ENV_CASES))
+def test_env_solve_golden_regression(fixture):
+    """Regression pins for the nonlinear env zoo: each env's canonical
+    f64 solve (pendulum swing-up, cartpole balance, quadrotor hover
+    recovery with the m=2 asymmetric box, acrobot balance with the
+    configuration-dependent mass matrix) has its controls frozen as a
+    golden (generated by this solver, f64, CPU) — catches unintended
+    behavior drift across refactors/kernels. One parametrized protocol;
+    the per-env rows differ only in dynamics, seed, x_init, T, bounds
+    (fixture names and RNG streams predate the refactor — the committed
+    goldens are unchanged)."""
+    dx, x_np, n, m, T, (lo, hi) = GOLDEN_ENV_CASES[fixture]()
     q, p = dx.get_true_obj()
     cost = QuadCost(jnp.diag(q), p)
-    rng = np.random.default_rng(881)
-    th1 = rng.uniform(-0.05, 0.05, B)
-    th2 = rng.uniform(-0.05, 0.05, B)
-    x_init = jnp.asarray(
-        np.stack(
-            [np.cos(th1), np.sin(th1), np.cos(th2), np.sin(th2),
-             rng.uniform(-0.05, 0.05, B), rng.uniform(-0.05, 0.05, B)],
-            -1,
-        ),
-        jnp.float64,
-    )
+    x_init = jnp.asarray(x_np, jnp.float64)
     config = MPCConfig(
-        n_state=6, n_ctrl=1, T=T, lqr_iter=15, eps=0.0,
+        n_state=n, n_ctrl=m, T=T, lqr_iter=15, eps=0.0,
         not_improved_lim=10**6, exit_unconverged=False,
         detach_unconverged=False, dtype=jnp.float64,
     )
     sol = jax.jit(
-        lambda x: mpc_solve(config, x, cost, dx, u_lower=-4.0, u_upper=4.0)
+        lambda x: mpc_solve(config, x, cost, dx, u_lower=lo, u_upper=hi)
     )(x_init)
     g = _golden(
-        "acrobot_T40B16_f64",
+        fixture,
         lambda: dict(us=np.asarray(sol.us), objs=np.asarray(sol.objs)),
     )
     np.testing.assert_allclose(np.asarray(sol.us), g["us"], atol=1e-4)
