@@ -109,3 +109,20 @@ def test_export_artifact_build_then_run_without_pythonpath(tmp_path):
     )
     assert res.returncode == 0, res.stderr[-2000:]
     assert "solves/s" in res.stdout
+
+
+def test_gen_expert_data_acrobot_without_pythonpath(tmp_path):
+    """The env-choice CLI actually solves with the newest env (the other
+    envs get end-to-end coverage via their il_* runs above)."""
+    out = str(tmp_path / "acro.npz")
+    res = subprocess.run(
+        [
+            sys.executable, "gen_expert_data.py", "--cpu", "--env",
+            "acrobot", "--batch", "4", "--horizon", "6", "--lqr-iter",
+            "2", "--out", out,
+        ],
+        cwd=EXAMPLES, env=_clean_env(), capture_output=True, text=True,
+        timeout=600,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert os.path.exists(out)
