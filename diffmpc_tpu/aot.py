@@ -72,18 +72,37 @@ def export_solve(
     identical to the chip-built one (scripts/check_aot_tpu.py).
 
     ``mesh``: a 1-D ``jax.sharding.Mesh`` — exports the MULTI-DEVICE
-    program with the scenario batch (and any per-scenario ``(B, ...)``
-    parameter rows) sharded over its axis; the artifact records the
-    device count and runs on a same-shape mesh at load. Shared parameter
-    leaves are replicated.
+    program with the scenario batch (and the parameter rows of a
+    per-scenario model, per ``dx.param_batch_shape``) sharded over its
+    axis; the artifact records the device count and runs on a same-shape
+    mesh at load. Shared parameter leaves are replicated. Mesh artifacts
+    bake the XLA orchestration (GSPMD-partitionable); the fused Mosaic
+    kernel has no SPMD partitioning rule and is rejected under ``mesh=``.
     """
-    if (
+    import dataclasses
+
+    if mesh is not None:
+        # The fused Mosaic mega-kernel is a single custom call with no
+        # SPMD partitioning rule: under a GSPMD-sharded exported program
+        # it would replicate the full batch per device (or fail to
+        # partition). Multi-device artifacts therefore bake the XLA
+        # orchestration, which GSPMD partitions cleanly; Pallas-speed
+        # multi-chip serving goes through the shard_map training-step
+        # path (parallel/), not through an exported artifact.
+        if config.use_pallas:
+            raise NotImplementedError(
+                "mesh= export with use_pallas=True is not supported: the "
+                "Mosaic custom call cannot be GSPMD-partitioned. Export "
+                "per-host single-device artifacts, or serve sharded via "
+                "parallel.make_dp_train_step-style shard_map."
+            )
+        if config.use_pallas is None:
+            config = dataclasses.replace(config, use_pallas=False)
+    elif (
         platforms is not None
         and config.use_pallas is None
         and all(str(p).lower() == "tpu" for p in platforms)
     ):
-        import dataclasses
-
         config = dataclasses.replace(config, use_pallas=True)
     T, n, m = config.T, config.n_state, config.n_ctrl
     dtype = config.dtype
@@ -99,26 +118,36 @@ def export_solve(
         from jax.sharding import NamedSharding, PartitionSpec
 
         axis = mesh.axis_names[0]
+        # Per-scenario-ness of params comes from the model's own
+        # declaration (Dynamics.param_batch_shape), NOT a raw shape
+        # heuristic: a custom model may carry a legitimately-shared 2-D
+        # params array whose first dim coincides with B
+        # (mpc._check_param_batch's documented override case) — those
+        # must stay replicated.
+        params_per_scenario = getattr(dx, "param_batch_shape", ()) == (B,)
 
-        def _shard(shape):
-            # batch-dim-0 sharded for per-scenario (B, ...) leaves; ndim
-            # >= 2 so a shared 1-D param vector that HAPPENS to have
-            # length B (e.g. 4 params at B=4) stays replicated
+        def _param_sds(a):
+            shape = jnp.shape(a)
             spec = (
                 PartitionSpec(axis)
-                if len(shape) >= 2 and shape[0] == B
+                if params_per_scenario and len(shape) >= 2 and shape[0] == B
                 else PartitionSpec()
             )
-            return NamedSharding(mesh, spec)
+            return jax.ShapeDtypeStruct(
+                shape, jnp.asarray(a).dtype,
+                sharding=NamedSharding(mesh, spec),
+            )
 
-        def _sds(shape, dt):
-            return jax.ShapeDtypeStruct(shape, dt, sharding=_shard(shape))
+        x_s = jax.ShapeDtypeStruct(
+            (B, n), dtype, sharding=NamedSharding(mesh, PartitionSpec(axis))
+        )
     else:
 
-        def _sds(shape, dt):
-            return jax.ShapeDtypeStruct(shape, dt)
+        def _param_sds(a):
+            return jax.ShapeDtypeStruct(jnp.shape(a), jnp.asarray(a).dtype)
 
-    x_s = _sds((B, n), dtype)
+        x_s = jax.ShapeDtypeStruct((B, n), dtype)
+
     u_s = None
     if warm_start:
         if mesh is not None:
@@ -129,10 +158,7 @@ def export_solve(
             )
         else:
             u_s = jax.ShapeDtypeStruct((T, B, m), dtype)
-    p_s = jax.tree.map(
-        lambda a: _sds(jnp.shape(a), jnp.asarray(a).dtype),
-        getattr(dx, "params", None),
-    )
+    p_s = jax.tree.map(_param_sds, getattr(dx, "params", None))
     if params_input and p_s is None:
         raise ValueError(
             "params_input=True requires a dynamics model with a .params "

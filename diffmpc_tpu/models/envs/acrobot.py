@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+from ...utils.batch import bclamp
 from ..dynamics import Dynamics
 
 _G = 9.8
@@ -99,12 +100,12 @@ class AcrobotDx(Dynamics):
         c1, s1, c2, s2, om1, om2 = (x[..., i] for i in range(6))
         tau = u[..., 0]
         if self.clamp_ctrl:
-            tau = jnp.clip(tau, -self.max_torque, self.max_torque)
+            tau = bclamp(tau, -self.max_torque, self.max_torque)
         qdd1, qdd2 = self._accelerations(
             self._split_params(), c1, s1, c2, s2, om1, om2, tau
         )
-        nom1 = jnp.clip(om1 + self.dt * qdd1, -self.max_speed1, self.max_speed1)
-        nom2 = jnp.clip(om2 + self.dt * qdd2, -self.max_speed2, self.max_speed2)
+        nom1 = bclamp(om1 + self.dt * qdd1, -self.max_speed1, self.max_speed1)
+        nom2 = bclamp(om2 + self.dt * qdd2, -self.max_speed2, self.max_speed2)
         th1 = jnp.arctan2(s1, c1) + self.dt * nom1
         th2 = jnp.arctan2(s2, c2) + self.dt * nom2
         return jnp.stack(
@@ -124,12 +125,12 @@ class AcrobotDx(Dynamics):
         c1, s1, c2, s2, om1, om2 = x_entries
         tau = u_entries[0]
         if self.clamp_ctrl:
-            tau = jnp.clip(tau, -self.max_torque, self.max_torque)
+            tau = bclamp(tau, -self.max_torque, self.max_torque)
         qdd1, qdd2 = self._accelerations(
             tuple(params), c1, s1, c2, s2, om1, om2, tau
         )
-        nom1 = jnp.clip(om1 + self.dt * qdd1, -self.max_speed1, self.max_speed1)
-        nom2 = jnp.clip(om2 + self.dt * qdd2, -self.max_speed2, self.max_speed2)
+        nom1 = bclamp(om1 + self.dt * qdd1, -self.max_speed1, self.max_speed1)
+        nom2 = bclamp(om2 + self.dt * qdd2, -self.max_speed2, self.max_speed2)
 
         def rotate(c, s, d):
             inv_r = jax.lax.rsqrt(c * c + s * s)

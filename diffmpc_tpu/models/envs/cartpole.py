@@ -12,6 +12,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+from ...utils.batch import bclamp
 from ..dynamics import Dynamics
 
 
@@ -45,7 +46,7 @@ class CartpoleDx(Dynamics):
         cos_th, sin_th, thdot = x[..., 2], x[..., 3], x[..., 4]
         force = u[..., 0]
         if self.clamp_ctrl:
-            force = jnp.clip(force, -self.max_force, self.max_force)
+            force = bclamp(force, -self.max_force, self.max_force)
         th = jnp.arctan2(sin_th, cos_th)
 
         temp = (force + polemass_l * thdot**2 * sin_th) / total_mass
@@ -75,7 +76,7 @@ class CartpoleDx(Dynamics):
         p, pdot, cos_th, sin_th, thdot = x_entries
         force = u_entries[0]
         if self.clamp_ctrl:
-            force = jnp.clip(force, -self.max_force, self.max_force)
+            force = bclamp(force, -self.max_force, self.max_force)
         temp = (force + polemass_l * thdot * thdot * sin_th) / total_mass
         th_acc = (g * sin_th - cos_th * temp) / (
             l * (4.0 / 3.0 - m_pole * cos_th * cos_th / total_mass)

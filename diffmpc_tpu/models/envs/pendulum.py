@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+from ...utils.batch import bclamp
 from ..dynamics import Dynamics
 
 
@@ -48,13 +49,13 @@ class PendulumDx(Dynamics):
         cos_th, sin_th, thdot = x[..., 0], x[..., 1], x[..., 2]
         uu = u[..., 0]
         if self.clamp_ctrl:
-            uu = jnp.clip(uu, -self.max_torque, self.max_torque)
+            uu = bclamp(uu, -self.max_torque, self.max_torque)
         th = jnp.arctan2(sin_th, cos_th)
         # sin(th + pi) = -sin(th)
         newthdot = thdot + self.dt * (
             3.0 * g / (2.0 * l) * sin_th + 3.0 * uu / (m * l * l)
         )
-        newthdot = jnp.clip(newthdot, -self.max_speed, self.max_speed)
+        newthdot = bclamp(newthdot, -self.max_speed, self.max_speed)
         newth = th + self.dt * newthdot
         return jnp.stack([jnp.cos(newth), jnp.sin(newth), newthdot], axis=-1)
 
@@ -74,11 +75,11 @@ class PendulumDx(Dynamics):
         cos_th, sin_th, thdot = x_entries
         uu = u_entries[0]
         if self.clamp_ctrl:
-            uu = jnp.clip(uu, -self.max_torque, self.max_torque)
+            uu = bclamp(uu, -self.max_torque, self.max_torque)
         newthdot = thdot + self.dt * (
             3.0 * g / (2.0 * l) * sin_th + 3.0 * uu / (m * l * l)
         )
-        newthdot = jnp.clip(newthdot, -self.max_speed, self.max_speed)
+        newthdot = bclamp(newthdot, -self.max_speed, self.max_speed)
         inv_r = jax.lax.rsqrt(cos_th * cos_th + sin_th * sin_th)
         c_hat, s_hat = cos_th * inv_r, sin_th * inv_r
         d = self.dt * newthdot
@@ -91,17 +92,18 @@ class PendulumDx(Dynamics):
         With r2 = cos^2 + sin^2 (= 1 on the constraint manifold),
         d th / d cos = -sin / r2, d th / d sin = cos / r2.
         Saturations (torque clamp, speed clamp) zero the relevant rows,
-        matching autodiff through ``jnp.clip``.
+        matching autodiff through the boundary-strict ``bclamp``.
         """
         g, m, l = self.params[..., 0], self.params[..., 1], self.params[..., 2]
         cos_th, sin_th, thdot = x[..., 0], x[..., 1], x[..., 2]
         uu = u[..., 0]
         dt = self.dt
 
-        # STRICT inequalities: at exactly the clamp boundary jnp.clip
-        # propagates derivative 1, and MPC controls sit exactly on the box
-        # bound, so the boundary convention is load-bearing for box-DDP
-        # (a zero control Jacobian there would blind the solver).
+        # STRICT inequalities: MPC controls sit exactly on the box bound,
+        # so the boundary convention is load-bearing for box-DDP — the
+        # derivative must be 1 there (a zero or halved control Jacobian
+        # would blind the solver). forward/entries_step use utils.batch
+        # .bclamp for the same reason: jnp.clip's tie gradient is 0.5.
         u_sat = (
             (uu < -self.max_torque) | (uu > self.max_torque)
             if self.clamp_ctrl

@@ -25,6 +25,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import struct
 
+from ...utils.batch import bclamp
 from ..dynamics import Dynamics
 
 
@@ -61,8 +62,8 @@ class QuadrotorDx(Dynamics):
         px, pz, phi, vx, vz, om = (x[..., i] for i in range(6))
         u1, u2 = u[..., 0], u[..., 1]
         if self.clamp_ctrl:
-            u1 = jnp.clip(u1, 0.0, self.max_thrust)
-            u2 = jnp.clip(u2, 0.0, self.max_thrust)
+            u1 = bclamp(u1, 0.0, self.max_thrust)
+            u2 = bclamp(u2, 0.0, self.max_thrust)
         thrust = u1 + u2
         s, c = jnp.sin(phi), jnp.cos(phi)
         nvx = vx + self.dt * (-thrust * s / mass)
@@ -91,8 +92,8 @@ class QuadrotorDx(Dynamics):
         px, pz, phi, vx, vz, om = x_entries
         u1, u2 = u_entries
         if self.clamp_ctrl:
-            u1 = jnp.clip(u1, 0.0, self.max_thrust)
-            u2 = jnp.clip(u2, 0.0, self.max_thrust)
+            u1 = bclamp(u1, 0.0, self.max_thrust)
+            u2 = bclamp(u2, 0.0, self.max_thrust)
         thrust = u1 + u2
         s, c = jnp.sin(phi), jnp.cos(phi)
         nvx = vx + self.dt * (-thrust * s / mass)

@@ -77,6 +77,19 @@ def eclamp(
     return x
 
 
+def bclamp(x: jnp.ndarray, lower, upper) -> jnp.ndarray:
+    """Boundary-strict clamp for env dynamics: identical VALUES to
+    ``jnp.clip`` but derivative 1 at exactly the bound (``jnp.clip``'s
+    tie gradient is 0.5 — ``grad(clip)(4.0) == 0.5`` — and box-DDP puts
+    saturated controls EXACTLY on the bound, so autodiffed control
+    Jacobians through ``clip`` are halved precisely where the box is
+    active; ``PendulumDx.grad_input`` documents the strict-inequality
+    convention this preserves). The solver-side ``eclamp`` keeps the
+    reference's max/min form — the KKT backward handles tight dims by
+    explicit masks, not clamp gradients."""
+    return jnp.where(x < lower, lower, jnp.where(x > upper, upper, x))
+
+
 def detach(x):
     """Cut gradients through a pytree — the reference's ``.detach()`` /
     ``get_data_maybe`` idiom becomes ``lax.stop_gradient``."""

@@ -182,3 +182,20 @@ def test_cross_platform_tpu_export_bakes_fused_dispatch():
         "cross-lowered TPU artifact does not contain the Mosaic kernel — "
         "the XLA orchestration was baked instead"
     )
+
+
+def test_mesh_export_rejects_fused_pallas():
+    """mesh= artifacts bake the GSPMD-partitionable XLA path; the Mosaic
+    custom call has no SPMD rule, so an explicit use_pallas=True must be
+    rejected loudly (and use_pallas=None resolves to False under mesh —
+    covered by test_mesh_export_multi_device running on CPU)."""
+    import dataclasses
+
+    from jax.sharding import Mesh
+
+    config, cost, dx, x = _problem(B=16, T=6, lqr_iter=2)
+    config = dataclasses.replace(config, use_pallas=True)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("batch",))
+    with pytest.raises(NotImplementedError, match="GSPMD"):
+        export_solve(config, cost, dx, B=16, u_lower=-2.0, u_upper=2.0,
+                     mesh=mesh)

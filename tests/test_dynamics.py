@@ -217,3 +217,38 @@ def test_nn_dynamics_entries_step_matches_forward():
     # a large MLP is excluded from kernel fusion
     big = NNDynamics.init(key, 3, 1, hidden=(64, 64))
     assert not big.kernel_fusable
+
+
+def test_control_jacobian_full_at_exact_bound_all_envs():
+    """Boundary-strict clamp convention (load-bearing for box-DDP:
+    saturated controls sit EXACTLY on the bound): the control Jacobian at
+    u == bound must equal the Jacobian just inside — jnp.clip's 0.5 tie
+    gradient would halve torque effectiveness precisely where the box is
+    active (utils.batch.bclamp; round-4 review catch)."""
+    import numpy as np
+
+    from diffmpc_tpu.models import AcrobotDx, CartpoleDx, QuadrotorDx
+
+    cases = [
+        (PendulumDx.default(jnp.float32),
+         jnp.asarray([[0.8, 0.6, 0.3]], jnp.float32), 2.0),
+        (CartpoleDx.default(jnp.float32),
+         jnp.asarray([[0.1, 0.2, 0.95, 0.31, 0.1]], jnp.float32), 10.0),
+        (QuadrotorDx.default(jnp.float32),
+         jnp.asarray([[0.1, 0.1, 0.1, 0.1, 0.1, 0.1]], jnp.float32), 5.0),
+        (AcrobotDx.default(jnp.float32),
+         jnp.asarray([[0.99, 0.14, 0.98, -0.2, 0.3, -0.2]], jnp.float32),
+         4.0),
+    ]
+    for dx, x, bound in cases:
+        m = dx.n_ctrl
+        u_at = jnp.full((1, m), bound, jnp.float32)
+        u_in = jnp.full((1, m), bound * (1.0 - 1e-3), jnp.float32)
+        _, B_at = dx.grad_input(x, u_at)
+        _, B_in = dx.grad_input(x, u_in)
+        assert float(jnp.max(jnp.abs(B_at))) > 0.0, type(dx).__name__
+        np.testing.assert_allclose(
+            np.asarray(B_at), np.asarray(B_in), rtol=5e-2, atol=1e-4,
+            err_msg=f"{type(dx).__name__}: control Jacobian shrank at the "
+            "exact bound (clip tie gradient)",
+        )
