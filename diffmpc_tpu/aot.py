@@ -25,6 +25,9 @@ Runtime inputs are opt-in and positional, in this order:
 
 from __future__ import annotations
 
+import hashlib
+import json
+import struct
 from typing import Optional
 
 import jax
@@ -33,6 +36,15 @@ from jax import export as _jexport
 
 from .mpc import MPCInfo, MPCSolution, mpc_solve
 from .types import MPCConfig
+
+# Self-describing artifact container (VERDICT r4 #4): a serving fleet must
+# be able to validate an artifact — which opt-in positional inputs it
+# takes, what config/bounds were baked, what library version built it —
+# WITHOUT calling it. Layout: MAGIC | u32 manifest length (big-endian) |
+# manifest JSON (utf-8) | jax.export payload. Raw jax.export blobs (pre-
+# manifest artifacts) are still loadable; their ``.manifest`` is None.
+_MAGIC = b"DMPCAOT1"
+_FORMAT_VERSION = 1
 
 # The artifact's output tree contains these NamedTuples; their treedefs
 # must be serializable (and re-registered identically at load — importing
@@ -178,7 +190,86 @@ def export_solve(
 
     kw = {} if platforms is None else {"platforms": platforms}
     exp = _jexport.export(jax.jit(fn), **kw)(*args)
-    return exp.serialize(vjp_order=vjp_order)
+    payload = exp.serialize(vjp_order=vjp_order)
+
+    input_names = ["x_init"]
+    if warm_start:
+        input_names.append("u_init")
+    if params_input:
+        input_names.append("params")
+
+    def _aval_json(s):
+        return {"shape": list(s.shape), "dtype": str(jnp.dtype(s.dtype))}
+
+    inputs = [dict(name="x_init", **_aval_json(x_s))]
+    if warm_start:
+        inputs.append(dict(name="u_init", **_aval_json(u_s)))
+    if params_input:
+        leaves = [
+            dict(name="params" + jax.tree_util.keystr(path), **_aval_json(l))
+            for path, l in jax.tree_util.tree_flatten_with_path(p_s)[0]
+        ]
+        inputs.append({"name": "params", "leaves": leaves})
+
+    def _bound_json(b):
+        if b is None:
+            return None
+        arr = jnp.asarray(b)
+        if arr.ndim == 0:
+            return float(arr)
+        return {"shape": list(arr.shape), "dtype": str(arr.dtype)}
+
+    config_dict = {
+        k: (str(v) if not isinstance(v, (bool, int, float, str, type(None))) else v)
+        for k, v in dataclasses.asdict(config).items()
+    }
+    config_json = json.dumps(config_dict, sort_keys=True)
+    from . import __version__
+
+    manifest = {
+        "format_version": _FORMAT_VERSION,
+        "library": "diffmpc_tpu",
+        "library_version": __version__,
+        "jax_version": jax.__version__,
+        "inputs": inputs,
+        "input_names": input_names,
+        "config": config_dict,
+        "config_digest": hashlib.sha256(config_json.encode()).hexdigest(),
+        "bounds": {"u_lower": _bound_json(u_lower), "u_upper": _bound_json(u_upper)},
+        "batch_size": B,
+        "platforms": list(exp.platforms),
+        "vjp_order": vjp_order,
+        "mesh": (
+            None
+            if mesh is None
+            else {
+                "axis_names": list(mesh.axis_names),
+                "shape": [int(s) for s in mesh.devices.shape],
+            }
+        ),
+        "dynamics": type(dx).__name__,
+    }
+    mbytes = json.dumps(manifest, sort_keys=True).encode("utf-8")
+    return _MAGIC + struct.pack(">I", len(mbytes)) + mbytes + payload
+
+
+def read_manifest(blob: bytes) -> Optional[dict]:
+    """Parse an artifact's manifest WITHOUT deserializing the program —
+    the fleet-side validation hook (a scheduler can check input names,
+    config digest, platforms, and mesh shape before shipping the blob to
+    a worker). Returns ``None`` for pre-manifest raw ``jax.export``
+    blobs; raises on a manifest written by a newer format version."""
+    if not blob.startswith(_MAGIC):
+        return None
+    (mlen,) = struct.unpack(">I", blob[len(_MAGIC) : len(_MAGIC) + 4])
+    manifest = json.loads(blob[len(_MAGIC) + 4 : len(_MAGIC) + 4 + mlen])
+    if manifest["format_version"] > _FORMAT_VERSION:
+        raise ValueError(
+            f"artifact manifest format_version {manifest['format_version']} "
+            f"is newer than this library supports ({_FORMAT_VERSION}); "
+            "upgrade diffmpc_tpu to load it"
+        )
+    return manifest
 
 
 def load_solve(blob: bytes):
@@ -187,12 +278,28 @@ def load_solve(blob: bytes):
     The callable takes the positional runtime inputs chosen at export time
     and returns the full :class:`~diffmpc_tpu.mpc.MPCSolution` pytree. It
     is jit-compatible and, if exported with ``vjp_order>=1``,
-    differentiable.
-    """
-    exp = _jexport.deserialize(blob)
+    differentiable. ``call.manifest`` carries the artifact's embedded
+    self-description (None for pre-manifest blobs); a wrong-arity call
+    fails eagerly with the expected input names."""
+    manifest = read_manifest(blob)
+    if manifest is not None:
+        (mlen,) = struct.unpack(">I", blob[len(_MAGIC) : len(_MAGIC) + 4])
+        payload = blob[len(_MAGIC) + 4 + mlen :]
+    else:
+        payload = blob
+    exp = _jexport.deserialize(payload)
+    names = manifest["input_names"] if manifest is not None else None
 
     def call(*args):
+        if names is not None and len(args) != len(names):
+            missing = names[len(args) :]
+            raise TypeError(
+                f"artifact expects {len(names)} positional input(s) "
+                f"({', '.join(names)}), got {len(args)}"
+                + (f" — missing: {', '.join(missing)}" if missing else "")
+            )
         return exp.call(*args)
 
     call.exported = exp  # introspection: .in_avals, .platforms, ...
+    call.manifest = manifest
     return call

@@ -64,14 +64,35 @@ def build(args):
     )
 
 
+def inspect_artifact(args):
+    """Print the embedded manifest WITHOUT deserializing the program —
+    the fleet-side validation step (VERDICT r4 #4)."""
+    import json
+
+    from diffmpc_tpu.aot import read_manifest
+
+    m = read_manifest(open(args.artifact, "rb").read())
+    if m is None:
+        raise SystemExit(
+            "pre-manifest artifact (raw jax.export payload): no embedded "
+            "self-description; rebuild with this library version"
+        )
+    print(json.dumps(m, indent=2, sort_keys=True))
+
+
 def run(args):
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     solve = load_solve(open(args.artifact, "rb").read())
     exp = solve.exported
+    names = (
+        solve.manifest["input_names"]
+        if solve.manifest is not None
+        else [f"arg{i}" for i in range(len(exp.in_avals))]
+    )
     print(
         f"artifact platforms={exp.platforms} nr_devices={exp.nr_devices} "
-        f"inputs={[str(a.shape) for a in exp.in_avals]}"
+        f"inputs={names} shapes={[str(a.shape) for a in exp.in_avals]}"
     )
     x_aval = exp.in_avals[0]
     B, n = x_aval.shape
@@ -124,6 +145,11 @@ def main():
     b.add_argument("--cpu", action="store_true")
     b.add_argument("--out", default="solve.bin")
     b.set_defaults(fn=build)
+    i = sub.add_parser(
+        "inspect", help="print the embedded manifest (no deserialize)"
+    )
+    i.add_argument("artifact")
+    i.set_defaults(fn=inspect_artifact)
     r = sub.add_parser("run", help="load + benchmark an artifact")
     r.add_argument("artifact")
     r.add_argument("--reps", type=int, default=20)

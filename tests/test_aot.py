@@ -161,8 +161,6 @@ def test_cross_platform_tpu_export_bakes_fused_dispatch():
     artifact — the auto-force in export_solve closes that trap). Pinned
     by the Mosaic custom-call in the artifact's StableHLO; execution on
     hardware is verified by scripts/check_aot_tpu.py."""
-    from jax import export as jexport
-
     config, cost, dx, x = _problem(B=1024, T=10, lqr_iter=3)
     # Mosaic lowering rejects the f64 weak-type constants the suite's
     # x64 mode introduces (the TPU backend is f32-only — CLAUDE.md);
@@ -175,13 +173,111 @@ def test_cross_platform_tpu_export_bakes_fused_dispatch():
         )
     finally:
         jax.config.update("jax_enable_x64", True)
-    exp = jexport.deserialize(blob)
+    exp = load_solve(blob).exported
     assert exp.platforms == ("tpu",)
     mlir = exp.mlir_module()
     assert "tpu_custom_call" in mlir, (
         "cross-lowered TPU artifact does not contain the Mosaic kernel — "
         "the XLA orchestration was baked instead"
     )
+
+
+def test_manifest_roundtrip_and_validation():
+    """Self-describing artifacts (VERDICT r4 #3/#4): the embedded manifest
+    must round-trip the calling convention (input NAMES in order, shapes),
+    the baked config digest, bounds, platforms, vjp_order and mesh — all
+    readable WITHOUT deserializing the program — and a wrong-arity call
+    must fail with a message that names the missing input."""
+    from diffmpc_tpu import __version__
+    from diffmpc_tpu.aot import read_manifest
+
+    config, cost, dx, x = _problem(lqr_iter=2)
+    B = x.shape[0]
+    blob = export_solve(
+        config, cost, dx, B=B, u_lower=-2.0, u_upper=2.0,
+        warm_start=True, params_input=True, vjp_order=1,
+    )
+
+    # fleet-side: manifest parses from the raw blob, no deserialize
+    m = read_manifest(blob)
+    assert m is not None
+    assert m["format_version"] == 1
+    assert m["library_version"] == __version__
+    assert m["input_names"] == ["x_init", "u_init", "params"]
+    assert m["inputs"][0]["shape"] == [B, 3]
+    assert m["inputs"][1]["shape"] == [config.T, B, 1]
+    assert m["inputs"][2]["leaves"]  # params pytree leaf avals with names
+    assert m["bounds"]["u_lower"] == -2.0 and m["bounds"]["u_upper"] == 2.0
+    assert m["vjp_order"] == 1 and m["mesh"] is None
+    assert m["dynamics"] == "PendulumDx"
+    assert m["config"]["T"] == config.T
+    assert len(m["config_digest"]) == 64
+
+    # same config → same digest; different config → different digest
+    blob2 = export_solve(
+        config, cost, dx, B=B, u_lower=-2.0, u_upper=2.0,
+        warm_start=True, params_input=True, vjp_order=1,
+    )
+    assert read_manifest(blob2)["config_digest"] == m["config_digest"]
+    import dataclasses
+
+    blob3 = export_solve(
+        dataclasses.replace(config, lqr_iter=3), cost, dx, B=B,
+        u_lower=-2.0, u_upper=2.0,
+    )
+    assert read_manifest(blob3)["config_digest"] != m["config_digest"]
+
+    # loader side: .manifest exposed, wrong arity names the missing input
+    solve = load_solve(blob)
+    assert solve.manifest == m
+    with pytest.raises(TypeError, match="missing: u_init, params"):
+        solve(x)
+    with pytest.raises(TypeError, match="expects 3 positional"):
+        solve(x, jnp.zeros((config.T, B, 1), jnp.float32),
+              jnp.asarray(dx.params), x)
+
+    # the program still runs and matches live
+    got = solve(
+        jnp.asarray(x), jnp.zeros((config.T, B, 1), jnp.float32),
+        jnp.asarray(dx.params),
+    )
+    want = mpc_solve(
+        config, x, cost, dx,
+        u_init=jnp.zeros((config.T, B, 1), jnp.float32),
+        u_lower=-2.0, u_upper=2.0,
+    )
+    np.testing.assert_allclose(got.us, want.us, atol=1e-6)
+
+
+def test_manifest_format_version_gate_and_legacy_blob():
+    """A newer-format manifest must raise loudly; a pre-manifest raw
+    jax.export payload must still load (manifest None) — old artifact
+    stores keep working."""
+    import struct
+
+    from diffmpc_tpu.aot import _MAGIC, read_manifest
+
+    config, cost, dx, x = _problem(lqr_iter=2)
+    blob = export_solve(config, cost, dx, B=x.shape[0],
+                        u_lower=-2.0, u_upper=2.0)
+    (mlen,) = struct.unpack(">I", blob[len(_MAGIC):len(_MAGIC) + 4])
+    payload = blob[len(_MAGIC) + 4 + mlen:]
+
+    # legacy: raw payload loads, manifest is None, call still works
+    legacy = load_solve(payload)
+    assert legacy.manifest is None
+    np.testing.assert_allclose(legacy(x).us, load_solve(blob)(x).us,
+                               atol=0)
+
+    # future format version: loud failure
+    import json
+
+    future = json.dumps({"format_version": 99}).encode()
+    forged = _MAGIC + struct.pack(">I", len(future)) + future + payload
+    with pytest.raises(ValueError, match="format_version 99"):
+        read_manifest(forged)
+    with pytest.raises(ValueError, match="format_version 99"):
+        load_solve(forged)
 
 
 def test_mesh_export_rejects_fused_pallas():
