@@ -14,6 +14,7 @@ EXAMPLES = os.path.join(REPO, "examples")
 ALL_EXAMPLES = [
     "export_artifact.py",
     "gen_expert_data.py",
+    "il_acrobot.py",
     "il_cartpole.py",
     "il_nn_dynamics.py",
     "il_pendulum.py",
@@ -109,6 +110,27 @@ def test_export_artifact_build_then_run_without_pythonpath(tmp_path):
     )
     assert res.returncode == 0, res.stderr[-2000:]
     assert "solves/s" in res.stdout
+
+
+def test_il_acrobot_runs_end_to_end_without_pythonpath(tmp_path):
+    """The fourth env's IL driver (VERDICT r4 #9): expert gen + one
+    training step through the KKT backward on the configuration-dependent
+    mass matrix, from a clean shell."""
+    res = subprocess.run(
+        [
+            sys.executable, "il_acrobot.py", "--cpu", "--batch", "8",
+            "--horizon", "6", "--steps", "1", "--lqr-iter", "3",
+            "--ckpt-every", "0", "--out", str(tmp_path / "out"),
+        ],
+        cwd=EXAMPLES,
+        env=_clean_env(),
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "final params" in res.stdout
+    assert (tmp_path / "out" / "train.csv").exists()
 
 
 def test_gen_expert_data_acrobot_without_pythonpath(tmp_path):
