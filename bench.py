@@ -529,6 +529,30 @@ def main():
     except Exception as e:  # pragma: no cover
         details["nn_dynamics_error"] = repr(e)
 
+    # ------------------------------------------------------------------
+    # Band check (VERDICT r4 #10): every tracked row against its recorded
+    # r2-r4 contention band (bench_bands.json); a row out of band two
+    # consecutive recorded runs is a regression by definition. WARN lines
+    # go to stderr -- stdout stays the driver's one-JSON-line contract.
+    # ------------------------------------------------------------------
+    try:
+        from diffmpc_tpu.utils.bench_bands import (
+            evaluate_with_history, format_warnings,
+        )
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        violations, regressions = evaluate_with_history(
+            details,
+            os.path.join(here, "bench_bands.json"),
+            os.path.join(here, "results", "bench_band_history.jsonl"),
+        )
+        details["band_violations"] = violations
+        details["band_regressions"] = regressions
+        for line in format_warnings(violations, regressions):
+            print(line, file=sys.stderr)
+    except Exception as e:  # pragma: no cover
+        details["band_check_error"] = repr(e)
+
     flush()
 
 
