@@ -77,3 +77,46 @@ def test_pallas_nonmultiple_batch_padding():
     out = riccati_backward_pallas(Cj, cj, Fj, fj, n, interpret=True)
     assert out.K.shape == (T, B, m, n)
     np.testing.assert_allclose(np.asarray(out.K), np.asarray(ref.K), atol=2e-4)
+
+
+@pytest.mark.parametrize("n,m", [(3, 1), (4, 2)])
+@pytest.mark.parametrize("block", [2, 4])
+def test_blocked_sweep_matches_serial(n, m, block):
+    """Depth-blocked in-kernel Riccati (the VERDICT r4 #1 ILP experiment,
+    ops/pallas/riccati_blocked.py): the element-composition algebra must
+    reproduce the serial unconstrained sweep exactly up to f32 roundoff —
+    correctness holds regardless of the hardware verdict recorded in
+    DESIGN.md §3."""
+    from diffmpc_tpu.ops.pallas.riccati_blocked import (
+        riccati_backward_blocked_pallas,
+    )
+
+    rng = np.random.default_rng(7 + n * 10 + m)
+    T, B = 8, 64
+    C, c, F, f, x_init = random_lqr_problem(rng, T, B, n, m)
+    Cj, cj, Fj, fj = _as32(C, c, F, f)
+    ref = riccati_backward(Cj, cj, Fj, fj, n)
+    out = riccati_backward_blocked_pallas(
+        Cj, cj, Fj, fj, n, block=block, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out.K), np.asarray(ref.K), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(out.k), np.asarray(ref.k), atol=5e-4)
+    assert bool(jnp.all(out.free_mask))
+
+
+def test_blocked_sweep_validates_shapes():
+    from diffmpc_tpu.ops.pallas.riccati_blocked import (
+        riccati_backward_blocked_pallas,
+    )
+
+    rng = np.random.default_rng(0)
+    C, c, F, f, _ = random_lqr_problem(rng, 6, 8, 3, 1)
+    Cj, cj, Fj, fj = _as32(C, c, F, f)
+    with pytest.raises(ValueError, match="divide"):
+        riccati_backward_blocked_pallas(
+            Cj, cj, Fj, fj, 3, block=4, interpret=True
+        )
+    with pytest.raises(ValueError, match="block"):
+        riccati_backward_blocked_pallas(
+            Cj, cj, Fj, fj, 3, block=3, interpret=True
+        )
