@@ -1,0 +1,98 @@
+"""A/B on real TPU: m=3 active-set enumeration pnqp (27 candidates,
+DIFFMPC_PNQP_ENUM=1) vs the serial projected-Newton loop, settling the
+knob VERDICT r4 weak #6 flagged as shipping "unvalidated on hardware".
+
+Shape: n=6, m=3 NN dynamics (kernel-fusable MLP) through the fused
+mega-kernel, box bounds tight enough that active sets occur. Protocol as
+scripts/ab_pnqp_enum.py: both variants traced in one process (the knob is
+read at trace time), timed interleaved with per-variant minima, fixed
+work (eps=0, exact lqr_iter).
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/ab_pnqp_enum3.py
+"""
+
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", f"{_REPO}/.jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffmpc_tpu.models import NNDynamics
+from diffmpc_tpu.ops.pallas import riccati as R
+from diffmpc_tpu.ops.pallas.ilqr import ilqr_solve_fused
+
+
+def main():
+    B, T, LQR_ITER = 1024, 20, 10
+    n, m = 6, 3
+    nm = n + m
+    nn = NNDynamics.init(
+        jax.random.PRNGKey(0), n, m, hidden=(16, 16), residual=True
+    )
+    assert nn.kernel_fusable
+    rng = np.random.default_rng(1)
+    # quadratic cost toward the origin with a mild control penalty; linear
+    # term pushes controls toward the box so active sets occur
+    qdiag = jnp.asarray([1.0] * n + [0.02] * m, jnp.float32)
+    C = jnp.broadcast_to(jnp.diag(qdiag), (T, B, nm, nm))
+    cvec = jnp.asarray([0.0] * n + [0.08] * m, jnp.float32)
+    c = jnp.broadcast_to(cvec, (T, B, nm))
+    x0 = jnp.asarray(rng.uniform(-0.8, 0.8, (B, n)), jnp.float32)
+    lo = jnp.full((T, B, m), -0.5, jnp.float32)
+    hi = jnp.full((T, B, m), 0.5, jnp.float32)
+
+    def make():
+        def solve(x):
+            fr = ilqr_solve_fused(
+                x, C, c, nn, lo, hi, lqr_iter=LQR_ITER, pnqp_iter=8, eps=0.0
+            )
+            return fr.us, fr.objs
+        return jax.jit(solve)
+
+    fns = {}
+    for name, knob in (("enum3", "1"), ("loop", "0")):
+        R._PNQP_ENUM = knob
+        t0 = time.perf_counter()
+        compiled = make().lower(x0).compile()
+        out = jax.block_until_ready(compiled(x0))
+        print(f"{name}: compile+run {time.perf_counter()-t0:.1f}s", flush=True)
+        fns[name] = (compiled, out)
+    R._PNQP_ENUM = ""
+
+    us_e, objs_e = fns["enum3"][1]
+    us_l, objs_l = fns["loop"][1]
+    at_bound = jnp.mean(
+        ((us_e <= -0.5 + 1e-5) | (us_e >= 0.5 - 1e-5)).astype(jnp.float32)
+    )
+    du = float(jnp.max(jnp.abs(us_e - us_l)))
+    worse = float(jnp.max(objs_e - objs_l))
+    print(
+        f"active-bound frac {float(at_bound):.3f}; max|du| {du:.2e}; "
+        f"max(obj_enum - obj_loop) {worse:.2e}",
+        flush=True,
+    )
+
+    best = {k: float("inf") for k in fns}
+    for _ in range(6):
+        for k in fns:
+            t0 = time.perf_counter()
+            for _ in range(8):
+                o = fns[k][0](x0)
+            jax.block_until_ready(o)
+            best[k] = min(best[k], (time.perf_counter() - t0) / 8)
+    for k in fns:
+        print(f"{k}: {best[k]*1e3:.3f} ms ({B/best[k]:,.0f} solves/s)",
+              flush=True)
+    print(f"enum3 speedup {best['loop']/best['enum3']:.3f}x", flush=True)
+
+
+if __name__ == "__main__":
+    print("devices:", jax.devices(), flush=True)
+    main()
