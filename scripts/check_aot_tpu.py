@@ -35,12 +35,87 @@ from diffmpc_tpu import mpc_solve
 from diffmpc_tpu.aot import export_solve, load_solve
 
 
+def scan_amortization(config, cost, dx, B, x):
+    """VERDICT r4 weak #5: single-dispatch artifact serving measured ~2.28
+    ms/batch (450k solves/s) vs ~1 ms live under lax.map — a 2x dispatch
+    tax. Can an artifact be called INSIDE a scanned loop (the receding
+    pattern) to recover the amortization? exp.call is jit-compatible, so
+    it should inline into one compiled episode program. Measure: N=16
+    warm-started solves per dispatch, artifact-in-scan vs live-in-scan vs
+    artifact single-dispatch."""
+    import jax.numpy as jnp
+
+    N = 16
+    blob = export_solve(
+        config, cost, dx, B=B, u_lower=-2.0, u_upper=2.0, warm_start=True
+    )
+    solve = load_solve(blob)
+    u0 = jnp.zeros((config.T, B, config.n_ctrl), jnp.float32)
+
+    @jax.jit
+    def ep_aot(x0, u_init):
+        def step(u, _):
+            sol = solve(x0, u)
+            return jnp.roll(sol.us, -1, axis=0), sol.objs
+        _, objs = jax.lax.scan(step, u_init, None, length=N)
+        return objs
+
+    @jax.jit
+    def ep_live(x0, u_init):
+        def step(u, _):
+            sol = mpc_solve(config, x0, cost, dx, u_init=u,
+                            u_lower=-2.0, u_upper=2.0)
+            return jnp.roll(sol.us, -1, axis=0), sol.objs
+        _, objs = jax.lax.scan(step, u_init, None, length=N)
+        return objs
+
+    @jax.jit
+    def single(x0, u):
+        return solve(x0, u).objs
+
+    fns = {"artifact_in_scan": (ep_aot, (x, u0)),
+           "live_in_scan": (ep_live, (x, u0)),
+           "artifact_single_dispatch": (single, (x, u0))}
+    outs = {}
+    for k, (fn, args) in fns.items():
+        t0 = time.time()
+        outs[k] = jax.block_until_ready(fn(*args))
+        print(f"{k}: compile+first {time.time()-t0:.1f}s", flush=True)
+    da = float(jnp.max(jnp.abs(outs["artifact_in_scan"] - outs["live_in_scan"])))
+    print(f"scan parity max|dobj| = {da:.2e}")
+
+    best = {k: float("inf") for k in fns}
+    for _ in range(6):
+        for k, (fn, args) in fns.items():
+            reps = 2 if "scan" in k else 2 * N
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                r = fn(*args)
+            jax.block_until_ready(r)
+            best[k] = min(best[k], (time.perf_counter() - t0) / reps)
+    per_batch = {
+        "artifact_in_scan": best["artifact_in_scan"] / N,
+        "live_in_scan": best["live_in_scan"] / N,
+        "artifact_single_dispatch": best["artifact_single_dispatch"],
+    }
+    for k, dt in per_batch.items():
+        print(f"{k}: {dt*1e3:.3f} ms/batch ({B/dt:,.0f} solves/s)")
+    print(
+        f"scan amortization recovers "
+        f"{per_batch['artifact_single_dispatch']/per_batch['artifact_in_scan']:.2f}x "
+        f"over single dispatch; artifact-in-scan vs live-in-scan "
+        f"{per_batch['live_in_scan']/per_batch['artifact_in_scan']:.3f}x"
+    )
+
+
 def main():
     print("backend:", jax.default_backend(), jax.devices()[0])
     config, cost, dx = _pendulum_setup(T=20)
     B = 1024
     x = _x_init(B, seed=7)
 
+    if "--scan" in sys.argv:
+        return scan_amortization(config, cost, dx, B, x)
     sharded = "--sharded" in sys.argv
     argv = [a for a in sys.argv[1:] if a != "--sharded"]
     if argv:  # verify a prebuilt (e.g. cross-lowered) artifact
