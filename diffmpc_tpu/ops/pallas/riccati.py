@@ -300,8 +300,14 @@ def _pnqp_enum_entries(Quu, qu, lo, hi, m, reg):
 
 # DIFFMPC_PNQP_ENUM: "" (default) = enumeration at m == 2; "0" = always the
 # projected-Newton loop (A/B knob); "1" = extend enumeration to m == 3
-# (27 candidates — op count grows past the loop's, chain still shorter;
-# unvalidated on hardware, experiment only).
+# (27 candidates — op count grows past the loop's, chain still shorter).
+# m=3 VALIDATED on hardware (2026-08-20, scripts/ab_pnqp_enum3.py, n=6 m=3
+# NN dynamics through the mega-kernel, interleaved fixed-work minima):
+# 1.067x over the 8-iter loop, and exact — matches the f64 brute-force
+# oracle to 5e-8 objective on 4096 corner-heavy QPs where the loop's rare
+# corner picks are equal-objective near-ties (DESIGN.md §3a). Left opt-in
+# (not the default like m=2) because no m=3 env/production shape exists in
+# the zoo — defaults only cover shapes with hardware coverage.
 #
 # The env var is consulted at DISPATCH time (like DIFFMPC_SUBLANE /
 # DIFFMPC_VMEM_BUDGET_MB — round 4, advisor finding: an import-time read

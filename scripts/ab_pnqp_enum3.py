@@ -72,12 +72,38 @@ def main():
         ((us_e <= -0.5 + 1e-5) | (us_e >= 0.5 - 1e-5)).astype(jnp.float32)
     )
     du = float(jnp.max(jnp.abs(us_e - us_l)))
-    worse = float(jnp.max(objs_e - objs_l))
+    # Multi-iteration objective comparison is chaos-afflicted (different
+    # inner solves -> different fixed points, CLAUDE.md caveat); report
+    # the distribution, not a hard bound.
+    dobj = np.asarray(objs_e - objs_l)
     print(
         f"active-bound frac {float(at_bound):.3f}; max|du| {du:.2e}; "
-        f"max(obj_enum - obj_loop) {worse:.2e}",
+        f"obj_enum - obj_loop: mean {dobj.mean():.3e}, median "
+        f"{np.median(dobj):.3e}, frac(enum better) "
+        f"{(dobj < 0).mean():.3f}, frac(|d| > 1e-2) "
+        f"{(np.abs(dobj) > 1e-2).mean():.3f}",
         flush=True,
     )
+
+    # Same-fixed-point validity check: ONE iteration from the same start —
+    # the inner QPs see identical (Quu, qu, box), so the exact enumeration
+    # must agree with the converged Newton loop tightly.
+    def make1(knob):
+        R._PNQP_ENUM = knob
+
+        def solve1(x):
+            fr = ilqr_solve_fused(
+                x, C, c, nn, lo, hi, lqr_iter=1, pnqp_iter=8, eps=0.0
+            )
+            return fr.us
+
+        out = jax.jit(solve1)(x0)
+        R._PNQP_ENUM = ""
+        return jax.block_until_ready(out)
+
+    du1 = float(jnp.max(jnp.abs(make1("1") - make1("0"))))
+    print(f"single-iteration (same-fixed-point) max|du| = {du1:.2e}",
+          flush=True)
 
     best = {k: float("inf") for k in fns}
     for _ in range(6):
