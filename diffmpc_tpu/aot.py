@@ -103,6 +103,7 @@ def export_solve(
     """
     import dataclasses
 
+    explicit_pallas = config.use_pallas is True
     if mesh is not None:
         if config.use_pallas is None:
             target = (
@@ -113,6 +114,36 @@ def export_solve(
             config = dataclasses.replace(
                 config, use_pallas=target not in ("cpu",)
             )
+        if config.use_pallas:
+            # The manifest's mesh form must reflect the DISPATCH, not the
+            # knob: a config the mega-kernel rejects (non-fusable dx,
+            # FINITE_DIFF, VMEM budget, non-quadratic cost, no box) would
+            # silently run the XLA path inside an unnecessary shard_map
+            # while the manifest claimed 'shard_map_fused'. Gate on the
+            # real predicate with the PER-DEVICE batch.
+            from .mpc import _would_use_fused
+            from .types import LinDx, QuadCost
+
+            n_dev = mesh.devices.size
+            B_local = B // n_dev if B % n_dev == 0 else B
+            can_fuse = _would_use_fused(
+                config, B_local, dx,
+                is_quad=isinstance(cost, QuadCost),
+                constrained=u_lower is not None,
+                is_lin=isinstance(dx, LinDx),
+            )
+            if not can_fuse:
+                if explicit_pallas:
+                    raise ValueError(
+                        "mesh= export with use_pallas=True, but the fused "
+                        "mega-kernel cannot engage for this configuration "
+                        "(requires QuadCost + box bounds + an entries_step/"
+                        "kernel_params dynamics model, grad_method != "
+                        "FINITE_DIFF, verbose <= 0, and the solve within "
+                        "the VMEM budget). Pass use_pallas=False (or None) "
+                        "for the GSPMD XLA artifact instead."
+                    )
+                config = dataclasses.replace(config, use_pallas=False)
     elif (
         platforms is not None
         and config.use_pallas is None
@@ -196,22 +227,15 @@ def export_solve(
         n_dev = mesh.devices.size
         if B % n_dev:
             raise ValueError(
-                f"B={B} must divide the mesh's {n_dev} devices for the "
-                "fused shard_map export"
+                f"the mesh's {n_dev} devices must evenly divide B={B} for "
+                "the fused shard_map export"
             )
         x_spec = PartitionSpec(axis)
         u_spec = PartitionSpec(None, axis)
+        # in_specs reuse the shardings already decided on the p_s avals
+        # (_param_sds is the one copy of the per-scenario rule)
         p_spec = (
-            jax.tree.map(
-                lambda a: (
-                    PartitionSpec(axis)
-                    if params_per_scenario
-                    and jnp.ndim(a) >= 2
-                    and jnp.shape(a)[0] == B
-                    else PartitionSpec()
-                ),
-                getattr(dx, "params", None),
-            )
+            jax.tree.map(lambda s: s.sharding.spec, p_s)
             if params_input
             else None
         )
@@ -344,8 +368,19 @@ def read_manifest(blob: bytes) -> Optional[dict]:
     blobs; raises on a manifest written by a newer format version."""
     if not blob.startswith(_MAGIC):
         return None
-    (mlen,) = struct.unpack(">I", blob[len(_MAGIC) : len(_MAGIC) + 4])
-    manifest = json.loads(blob[len(_MAGIC) + 4 : len(_MAGIC) + 4 + mlen])
+    hdr = len(_MAGIC) + 4
+    if len(blob) < hdr:
+        raise ValueError(
+            f"corrupt/truncated artifact: {len(blob)} bytes is shorter "
+            "than the manifest header"
+        )
+    (mlen,) = struct.unpack(">I", blob[len(_MAGIC) : hdr])
+    if len(blob) < hdr + mlen:
+        raise ValueError(
+            f"corrupt/truncated artifact: manifest declares {mlen} bytes "
+            f"but only {len(blob) - hdr} follow the header"
+        )
+    manifest = json.loads(blob[hdr : hdr + mlen])
     if manifest["format_version"] > _FORMAT_VERSION:
         raise ValueError(
             f"artifact manifest format_version {manifest['format_version']} "

@@ -134,7 +134,6 @@ def _build_element_entries(Ct, ct, Ft, ft, n, m, reg):
     entry tiles). No terminal-step zeroing: the sweep applies elements to
     a true terminal VALUE ``V_T = 0``, which makes the zeroing redundant
     (apply(e_{T-1}, 0) = (J, -eta) exactly)."""
-    nm = n + m
     Quu = [[Ct[n + a][n + b] for b in range(m)] for a in range(m)]
     Qux = [[Ct[n + a][b] for b in range(n)] for a in range(m)]
     qu = [ct[n + a] for a in range(m)]
@@ -274,8 +273,6 @@ def _apply_element_entries(e, V, v, n):
 # ---------------------------------------------------------------------------
 # Element scratch I/O.
 # ---------------------------------------------------------------------------
-
-_EL_FIELDS = ("A", "b", "C", "eta", "J")
 
 
 def _write_element(refs, idx, e, n):
@@ -457,7 +454,7 @@ def riccati_backward_blocked_pallas(
     if block not in (2, 4):
         raise ValueError(f"block must be 2 or 4, got {block}")
     if T % block:
-        raise ValueError(f"T={T} must divide block={block}")
+        raise ValueError(f"block={block} must evenly divide T={T}")
 
     n_levels = block.bit_length() - 1
     el_tiles = 3 * n * n + 2 * n

@@ -65,7 +65,10 @@ def initialize(
             # malformed cluster env var on a real pod) must raise, never
             # degrade to a silent single-process run (symmetric with the
             # RuntimeError branch below — round-4 judge finding).
-            if "coordinator_address should be defined" not in str(e):
+            # Lowercased like that branch; version-sensitive by nature (a
+            # JAX rewording turns single-process runs loud, which fails
+            # safe — the message is pinned by the fresh-subprocess tests).
+            if "coordinator_address should be defined" not in str(e).lower():
                 raise
         except RuntimeError as e:
             msg = str(e).lower()

@@ -12,7 +12,14 @@ is exact (tests/test_pallas_kkt.py-style oracle construction), so the
 win is accuracy + whatever the shorter chain buys.
 """
 
+import os
 import time
+
+# A live DIFFMPC_PNQP_ENUM overrides the R._PNQP_ENUM monkeypatch
+# (riccati._pnqp_enum_mode prefers the env var), which would make both
+# variants trace identically and the A/B vacuous — clear it up front.
+if os.environ.pop("DIFFMPC_PNQP_ENUM", None) is not None:
+    print("NOTE: cleared exported DIFFMPC_PNQP_ENUM for the A/B")
 
 import jax
 import jax.numpy as jnp

@@ -20,6 +20,12 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", f"{_REPO}/.jax_cache")
 
+# A live DIFFMPC_PNQP_ENUM overrides the R._PNQP_ENUM monkeypatch
+# (riccati._pnqp_enum_mode prefers the env var), which would make both
+# variants trace identically and the A/B vacuous — clear it up front.
+if os.environ.pop("DIFFMPC_PNQP_ENUM", None) is not None:
+    print("NOTE: cleared exported DIFFMPC_PNQP_ENUM for the A/B")
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -330,11 +330,19 @@ def test_mesh_export_fused_shard_map_matches_unsharded():
 
     from diffmpc_tpu.aot import read_manifest
 
+    from diffmpc_tpu.mpc import _would_use_fused
+
     config, cost, dx, x = _problem(B=16, T=6, lqr_iter=3)
     config = dataclasses.replace(
         config, use_pallas=True, pallas_interpret=True
     )
     B = x.shape[0]
+    # CLAUDE.md kernel-test rule: assert the config genuinely engages the
+    # fused dispatch (per-device local batch) — otherwise both sides of
+    # the comparison silently take the XLA path and the test is vacuous.
+    assert _would_use_fused(
+        config, B // 8, dx, is_quad=True, constrained=True, is_lin=False
+    )
     mesh = Mesh(np.array(jax.devices()[:8]), ("batch",))
     blob = export_solve(
         config, cost, dx, B=B, u_lower=-2.0, u_upper=2.0,
@@ -387,6 +395,44 @@ def test_mesh_export_fused_cross_lowered_tpu():
         "sharded TPU artifact lost the Mosaic kernel — the XLA "
         "orchestration was baked instead"
     )
+
+
+def test_mesh_export_form_reflects_real_dispatch():
+    """The manifest's mesh form is keyed on the REAL fused-dispatch
+    predicate, not the knob: a config the mega-kernel rejects must either
+    fail loudly (explicit use_pallas=True) or fall back to the honestly-
+    labeled GSPMD form (auto-resolved) — never ship an XLA program
+    labeled 'shard_map_fused'."""
+    import dataclasses
+
+    from jax.sharding import Mesh
+
+    from diffmpc_tpu.aot import read_manifest
+    from diffmpc_tpu.types import GradMethods
+
+    config, cost, dx, x = _problem(B=16, T=6, lqr_iter=2)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("batch",))
+    # FINITE_DIFF linearization never rides the mega-kernel
+    bad = dataclasses.replace(
+        config, use_pallas=True, pallas_interpret=True,
+        grad_method=GradMethods.FINITE_DIFF,
+    )
+    with pytest.raises(ValueError, match="cannot engage"):
+        export_solve(bad, cost, dx, B=16, u_lower=-2.0, u_upper=2.0,
+                     mesh=mesh)
+
+    # auto-resolution (None) for a TPU target with the same non-fusable
+    # config: falls back to the GSPMD XLA form, manifest labeled honestly
+    auto = dataclasses.replace(config, grad_method=GradMethods.FINITE_DIFF)
+    jax.config.update("jax_enable_x64", False)
+    try:
+        blob = export_solve(auto, cost, dx, B=16, u_lower=-2.0,
+                            u_upper=2.0, mesh=mesh, platforms=["tpu"])
+    finally:
+        jax.config.update("jax_enable_x64", True)
+    m = read_manifest(blob)
+    assert m["mesh"]["form"] == "gspmd_xla"
+    assert "tpu_custom_call" not in load_solve(blob).exported.mlir_module()
 
 
 def test_mesh_export_fused_rejects_indivisible_batch():
