@@ -316,6 +316,13 @@ def test_manifest_format_version_gate_and_legacy_blob():
     with pytest.raises(ValueError, match="format_version 99"):
         load_solve(forged)
 
+    # truncated/corrupt blobs: clean named errors, not struct/json noise
+    with pytest.raises(ValueError, match="truncated"):
+        read_manifest(blob[: len(_MAGIC) + 2])  # cut inside the header
+    with pytest.raises(ValueError, match="declares"):
+        # length field larger than the remaining bytes
+        read_manifest(_MAGIC + struct.pack(">I", 10**6) + b"xx")
+
 
 def test_mesh_export_fused_shard_map_matches_unsharded():
     """Pallas-speed multi-device serving artifact (VERDICT r4 missing #1):
