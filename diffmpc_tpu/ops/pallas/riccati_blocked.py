@@ -37,12 +37,23 @@ DESIGN.md §3 next to the wide-tile ladder): **rejected with data.**
     T=128 B=8192:  serial 1.142 ms | D2 1.237 (0.923x) | D4 1.235 (0.92x)
 
 +5% at the headline shape only (below the >=10% adoption bar), losses
-everywhere wider. Diagnosis: the apply/compose algebra works on general
+everywhere wider. RE-VALIDATED same session under the fetch-drained
+protocol (the async-dispatch trap discovered afterwards — CLAUDE.md —
+makes block-on-last hot loops suspect; every loop closed with a host
+fetch of a scalar-reduced result):
+
+    T=20 B=1024:  serial 0.603 ms | D2 0.631 (0.954x) | D4 0.575 (1.048x)
+    T=20 B=65536: serial 1.280 ms | D2 1.310 (0.977x) | D4 1.333 (0.960x)
+
+The B=65,536 rows reproduce the original run to ~1%; at B=1024 the
+"winner" flips between D2 and D4 across protocols — i.e. all variants
+sit within the +-5% noise band and NO variant reaches the 10% bar under
+either protocol. Diagnosis: the apply/compose algebra works on general
 (non-symmetric) ``I + (PSD)(PSD)`` systems — Gaussian elimination with
 ``n`` SERIAL reciprocals per solve — so one blocked apply costs nearly
 the serial latency of the two steps it replaces, and the data-parallel
 composition phases add real issue time on top. Deeper blocking (D=4)
-makes it worse: the saved chain is already amortized at D=2 and the
+does not help: the saved chain is already amortized at D=2 and the
 tree adds another T/4 compositions. The "structural" serial-chain
 diagnosis of the roofline gap stands; the kernel is kept as the
 measured negative + correctness-pinned reference of the in-kernel

@@ -12,7 +12,10 @@ EXACT; if the mechanism cannot pay here it cannot pay in box mode either
 Protocol (CLAUDE.md measurement discipline): bare kernels timed with 50
 sequential async dispatches per sample (lax.map adds ~0.85 ms/step to
 bare kernels), variants interleaved per round, per-variant minima over
-rounds. Fixed work by construction (the sweep has no early exit).
+rounds; every timing loop CLOSED BY A HOST FETCH of a scalar-reduced
+result (the r5 async-dispatch trap: block_until_ready on hot loops of
+short programs intermittently returns at enqueue — a fetch guarantees
+the drain). Fixed work by construction (the sweep has no early exit).
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/ab_blocked_ilp.py
 """
@@ -74,6 +77,11 @@ def main():
                 ).K
             ),
         }
+        # scalar-reduced twins for the timing loops (fetch-drained)
+        timed = {
+            k: jax.jit(lambda C, c, F, f, fn=fn: jnp.sum(fn(C, c, F, f)))
+            for k, fn in variants.items()
+        }
 
         # warm + correctness cross-check on device
         outs = {}
@@ -86,13 +94,15 @@ def main():
             rel = d / float(jnp.max(jnp.abs(outs["serial"])))
             print(f"  [{T}x{B}] {name} vs serial: max|dK|={d:.2e} rel={rel:.2e}")
 
+        for name, fn in timed.items():
+            float(fn(C, c, F, f))  # warm + drain
         best = {name: float("inf") for name in variants}
         for _ in range(N_ROUNDS):
-            for name, fn in variants.items():
+            for name, fn in timed.items():
                 t0 = time.perf_counter()
                 for _ in range(N_DISPATCH):
                     r = fn(C, c, F, f)
-                jax.block_until_ready(r)
+                _ = float(r)  # host fetch: guaranteed queue drain
                 best[name] = min(
                     best[name], (time.perf_counter() - t0) / N_DISPATCH
                 )
