@@ -174,18 +174,25 @@ def main():
         lin = jax.jit(lambda a, b: linearize_dynamics(dx, a, b))(xs0, u0)
         lo = jnp.full((T, B, 1), -2.0)
         hi = jnp.full((T, B, 1), 2.0)
+        # Scalar-reduced + FETCH-drained (round 5): bare-kernel hot loops
+        # that only block_until_ready were observed intermittently reading
+        # enqueue cost instead of execution time on the tunneled backend
+        # (CLAUDE.md async-dispatch trap); the host fetch guarantees the
+        # drain at ~RTT/50 per-call overhead.
         ric = jax.jit(
-            lambda C, c, F, f, uh: riccati_backward_pallas(
-                C, c, F, f, 3, u_lower=lo, u_upper=hi, u_hat=uh
+            lambda C, c, F, f, uh: jnp.sum(
+                riccati_backward_pallas(
+                    C, c, F, f, 3, u_lower=lo, u_upper=hi, u_hat=uh
+                ).K
             )
         )
-        jax.block_until_ready(ric(qc.C, qc.c, lin.F, lin.f, u0))
+        float(ric(qc.C, qc.c, lin.F, lin.f, u0))
 
         def _t_ric():
             t0 = time.perf_counter()
             for _ in range(50):
                 r = ric(qc.C, qc.c, lin.F, lin.f, u0)
-            jax.block_until_ready(r)
+            float(r)  # guaranteed drain
             return time.perf_counter() - t0
 
         details["riccati_pass_ms"] = round(best_of(3, _t_ric) / 50 * 1e3, 4)
