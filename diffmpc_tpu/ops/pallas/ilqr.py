@@ -92,6 +92,7 @@ def _make_kernel(
     batched_params=False,
     unroll=False,
     sublane=None,
+    hoist_lin=False,
 ):
     nm = n + m
     SL = sublane or SUBLANE  # tile height (wide-tile upgrade, round 3)
@@ -112,6 +113,8 @@ def _make_kernel(
             i += 1
         (xs_o, us_o, obj_o, conv_o, impr_o, alpha_o, iters_o, qp_o) = refs[i : i + 8]
         (xh_s, uh_s, bx_s, bu_s, K_s, k_s, st_s) = refs[i + 8 : i + 15]
+        if hoist_lin:
+            F_s, cd_s = refs[i + 15 : i + 17]
         # st_s rows: 0 cur_obj, 1 best_obj, 2 done, 3 n_not_improved,
         #           4 last_improvement, 5 last_alpha, 6 n_iters,
         #           7 mean qp iters (last active iteration)
@@ -187,16 +190,12 @@ def _make_kernel(
             active = 1.0 - done
 
             # ---- Riccati backward sweep (delta form) ----
-            def ric_body(s, Vv):
-                t = T - 1 - s
-                V = [[Vv[a * n + b] for b in range(n)] for a in range(n)]
-                v = [Vv[n * n + a] for a in range(n)]
-                qp_sum = Vv[n * n + n]
+            def linearize_at(t):
+                """Jacobian columns via tangent probes of ONE shared
+                linearization (column j of [A B]) + the delta-form linear
+                cost ``cd = c + C tau_hat`` — all V-independent."""
                 xh = [xh_s[t, a] for a in range(n)]
                 uh = [uh_s[t, a] for a in range(m)]
-
-                # Jacobian columns via tangent probes of ONE shared
-                # linearization: column j of [A B]
                 lin = dyn_lin(xh, uh)
                 Fcols = []
                 for j in range(n):
@@ -207,14 +206,45 @@ def _make_kernel(
                     Fcols.append(lin([zero] * n, seed))
                 # Ft[k][j] = d x_next[k] / d tau[j]
                 Ft = [[Fcols[j][k] for j in range(nm)] for k in range(n)]
-
-                # c_delta = c + C tau_hat
                 tau = xh + uh
                 cd = [
                     c_ref[0, t, a]
                     + sum(C_ref[0, t, a, b] * tau[b] for b in range(nm))
                     for a in range(nm)
                 ]
+                return Ft, cd
+
+            if hoist_lin:
+                # V-independent pre-pass (experiment, round 5): the
+                # linearization + cd are ~20-30% of the sweep body's ops
+                # but do not depend on the value carry — computing them in
+                # a loop whose iterations are INDEPENDENT removes them
+                # from the serial dependency chain at zero extra flops.
+                def pre_body(t, _):
+                    Ft, cd = linearize_at(t)
+                    for k in range(n):
+                        for j in range(nm):
+                            F_s[t, k, j] = Ft[k][j]
+                    for a in range(nm):
+                        cd_s[t, a] = cd[a]
+                    return 0
+
+                jax.lax.fori_loop(0, T, pre_body, 0)
+
+            def ric_body(s, Vv):
+                t = T - 1 - s
+                V = [[Vv[a * n + b] for b in range(n)] for a in range(n)]
+                v = [Vv[n * n + a] for a in range(n)]
+                qp_sum = Vv[n * n + n]
+                uh = [uh_s[t, a] for a in range(m)]
+
+                if hoist_lin:
+                    Ft = [
+                        [F_s[t, k, j] for j in range(nm)] for k in range(n)
+                    ]
+                    cd = [cd_s[t, a] for a in range(nm)]
+                else:
+                    Ft, cd = linearize_at(t)
 
                 # Q = C + F' V F ; q = cd + F' v
                 W = [
@@ -428,6 +458,7 @@ def ilqr_solve_fused(
     not_improved_lim: int = 5,
     interpret: bool = False,
     unroll: bool = False,
+    hoist_lin: bool = False,
 ) -> FusedSolveResult:
     """Full fused iLQR solve; contract mirrors the corresponding
     :func:`diffmpc_tpu.mpc.mpc_solve` configuration. ``u_init (T,B,m)``
@@ -521,16 +552,26 @@ def ilqr_solve_fused(
         pltpu.VMEM((T, m, sublane, LANE), jnp.float32),  # k
         pltpu.VMEM((8, sublane, LANE), jnp.float32),  # iteration state
     ]
+    hoist_extra = 0
+    if hoist_lin:
+        scratch += [
+            pltpu.VMEM((T, n, nm, sublane, LANE), jnp.float32),  # F
+            pltpu.VMEM((T, nm, sublane, LANE), jnp.float32),  # cd
+        ]
+        hoist_extra = T * (n * nm + nm) * 4 * tile_b
 
     kernel = _make_kernel(
         T, n, m, lqr_iter, pnqp_iter, reg, decay, max_linesearch_iter,
         delta_u, eps, best_cost_eps, not_improved_lim,
         dyn.entries_step, n_params, u_init is not None,
         batched_params=batched_params, unroll=unroll, sublane=sublane,
+        hoist_lin=hoist_lin,
     )
     from .riccati import experiment_compiler_params, ilqr_vmem_bytes
 
-    kw = experiment_compiler_params(ilqr_vmem_bytes(T, n, m, tile_b))
+    kw = experiment_compiler_params(
+        ilqr_vmem_bytes(T, n, m, tile_b) + hoist_extra
+    )
     xs_l, us_l, obj_l, conv_l, impr_l, alpha_l, iters_l, qp_l = pl.pallas_call(
         kernel,
         grid=(G,),

@@ -764,3 +764,56 @@ def test_fused_knob_combination_fuzz_vs_xla(seed):
     if use_delta:
         base = u_init if u_init is not None else jnp.zeros_like(got.us)
         assert float(jnp.max(jnp.abs(got.us - base))) <= 0.4 + 1e-5
+
+
+def test_hoist_lin_matches_in_sweep_linearization():
+    """`hoist_lin=True` (round-5 experiment: the V-independent
+    linearization + cd computed in a data-parallel pre-pass instead of
+    inside the serial Riccati chain) must reproduce the default kernel —
+    identical math, different schedule; tolerance covers XLA
+    reassociation across the two trace contexts. Hardware verdict
+    (wash for analytic envs, +6.5% for MLP dynamics, kept opt-in) is in
+    DESIGN.md §3 / scripts/ab_hoist_lin.py."""
+    import numpy as np
+
+    from diffmpc_tpu import QuadCost
+    from diffmpc_tpu.mpc import _expand_cost
+    from diffmpc_tpu.models import NNDynamics, PendulumDx
+    from diffmpc_tpu.ops.pallas.ilqr import ilqr_solve_fused
+
+    T, B = 8, 512
+    rng = np.random.default_rng(3)
+    th = rng.uniform(-np.pi, np.pi, B)
+    x = jnp.asarray(
+        np.stack([np.cos(th), np.sin(th), rng.uniform(-1, 1, B)], -1),
+        jnp.float32,
+    )
+    lo = jnp.full((T, B, 1), -2.0, jnp.float32)
+    hi = jnp.full((T, B, 1), 2.0, jnp.float32)
+    for dx in (
+        PendulumDx.default(jnp.float32),
+        NNDynamics.init(jax.random.PRNGKey(1), 3, 1, hidden=(8, 8),
+                        residual=True),
+    ):
+        q, p = PendulumDx.default(jnp.float32).get_true_obj()
+        qc = _expand_cost(QuadCost(jnp.diag(q), p), T, B, jnp.float32)
+        # single iteration: same fixed point, tight (CLAUDE.md — multi-
+        # iteration comparisons on chaotic scenarios amplify f32
+        # reassociation noise and need chaos tolerance)
+        a1 = ilqr_solve_fused(x, qc.C, qc.c, dx, lo, hi, lqr_iter=1,
+                              interpret=True)
+        b1 = ilqr_solve_fused(x, qc.C, qc.c, dx, lo, hi, lqr_iter=1,
+                              interpret=True, hoist_lin=True)
+        np.testing.assert_allclose(
+            np.asarray(a1.us), np.asarray(b1.us), atol=2e-5
+        )
+        # multi-iteration: chaos tolerance on controls, objectives close
+        a = ilqr_solve_fused(x, qc.C, qc.c, dx, lo, hi, lqr_iter=3,
+                             interpret=True)
+        b = ilqr_solve_fused(x, qc.C, qc.c, dx, lo, hi, lqr_iter=3,
+                             interpret=True, hoist_lin=True)
+        close = np.abs(np.asarray(a.us) - np.asarray(b.us)) < 1e-3
+        assert close.mean() > 0.99, close.mean()
+        np.testing.assert_allclose(
+            np.asarray(a.objs), np.asarray(b.objs), rtol=5e-4, atol=5e-4
+        )
