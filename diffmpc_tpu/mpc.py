@@ -28,6 +28,7 @@ TPU-first redesign (SURVEY.md §7 stage 6):
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Callable, NamedTuple, Optional, Union
 
 import jax
@@ -430,6 +431,11 @@ def mpc_solve(
             best_cost_eps=config.best_cost_eps,
             not_improved_lim=config.not_improved_lim,
             interpret=config.pallas_interpret,
+            # DIFFMPC_HOIST_LIN=1 (trace-time, like DIFFMPC_PNQP_ENUM):
+            # data-parallel linearization pre-pass — measured +6.5% for
+            # MLP dynamics, wash for analytic envs (DESIGN.md §3,
+            # scripts/ab_hoist_lin.py); opt-in below the 10% default bar.
+            hoist_lin=os.environ.get("DIFFMPC_HOIST_LIN", "") == "1",
         )
         best_x, best_u = detach(fr.xs), detach(fr.us)
         converged = fr.converged

@@ -817,3 +817,36 @@ def test_hoist_lin_matches_in_sweep_linearization():
         np.testing.assert_allclose(
             np.asarray(a.objs), np.asarray(b.objs), rtol=5e-4, atol=5e-4
         )
+
+
+def test_hoist_lin_env_knob_through_mpc_solve(monkeypatch):
+    """DIFFMPC_HOIST_LIN=1 routes the fused dispatch through the hoisted
+    pre-pass at trace time (env read like DIFFMPC_PNQP_ENUM); controls
+    agree with the default at lqr_iter=1 (same fixed point)."""
+    import dataclasses as _dc
+
+    import numpy as np
+
+    from diffmpc_tpu import MPCConfig, QuadCost, mpc_solve
+    from diffmpc_tpu.models import PendulumDx
+
+    dx = PendulumDx.default(jnp.float32)
+    q, p = dx.get_true_obj()
+    cost = QuadCost(jnp.diag(q), p)
+    config = MPCConfig(
+        n_state=3, n_ctrl=1, T=6, lqr_iter=1, eps=0.0,
+        exit_unconverged=False, detach_unconverged=False,
+        use_pallas=True, pallas_interpret=True, dtype=jnp.float32,
+    )
+    rng = np.random.default_rng(5)
+    th = rng.uniform(-np.pi, np.pi, 512)
+    x = jnp.asarray(
+        np.stack([np.cos(th), np.sin(th), rng.uniform(-1, 1, 512)], -1),
+        jnp.float32,
+    )
+    base = mpc_solve(config, x, cost, dx, u_lower=-2.0, u_upper=2.0)
+    monkeypatch.setenv("DIFFMPC_HOIST_LIN", "1")
+    hoist = mpc_solve(config, x, cost, dx, u_lower=-2.0, u_upper=2.0)
+    np.testing.assert_allclose(
+        np.asarray(base.us), np.asarray(hoist.us), atol=2e-5
+    )
