@@ -9,6 +9,7 @@ from .envs.acrobot import AcrobotDx
 from .envs.cartpole import CartpoleDx
 from .envs.pendulum import PendulumDx
 from .envs.quadrotor import QuadrotorDx
+from .envs.vehicle import VehicleDx
 
 __all__ = [
     "AcrobotDx",
@@ -19,5 +20,6 @@ __all__ = [
     "NNDynamics",
     "PendulumDx",
     "QuadrotorDx",
+    "VehicleDx",
     "autodiff_grad_input",
 ]

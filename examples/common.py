@@ -60,3 +60,20 @@ def random_acrobot_x_init(B, seed=0, dtype=jnp.float32, scale=0.05):
         ),
         dtype,
     )
+
+
+def random_vehicle_x_init(B, seed=0, dtype=jnp.float32, py_scale=1.0):
+    """Lane-keeping starts: lateral offset + heading error at speed."""
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(
+        np.stack(
+            [
+                np.zeros(B),
+                rng.uniform(-py_scale, py_scale, B),
+                rng.uniform(-0.3, 0.3, B),
+                rng.uniform(3.0, 7.0, B),
+            ],
+            -1,
+        ),
+        dtype,
+    )

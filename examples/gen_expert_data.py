@@ -18,6 +18,7 @@ from diffmpc_tpu.parallel import generate_expert_data
 
 from common import (
     random_acrobot_x_init,
+    random_vehicle_x_init,
     random_cartpole_x_init,
     random_pendulum_x_init,
 )
@@ -26,7 +27,7 @@ from common import (
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument(
-        "--env", choices=["pendulum", "cartpole", "acrobot"],
+        "--env", choices=["pendulum", "cartpole", "acrobot", "vehicle"],
         default="pendulum",
     )
     ap.add_argument("--batch", type=int, default=1024)
@@ -49,11 +50,20 @@ def main():
         x_init = random_cartpole_x_init(args.batch, args.seed)
         u_lim = 10.0
         n, m = 5, 1
-    else:  # acrobot: near-upright balance experts (dt=0.01 model)
+    elif args.env == "acrobot":  # near-upright balance experts (dt=0.01)
         dx = AcrobotDx.default()
         x_init = random_acrobot_x_init(args.batch, args.seed)
         u_lim = 4.0
         n, m = 6, 1
+    else:  # vehicle: lane-keeping experts, asymmetric mixed box
+        import jax.numpy as _jnp
+
+        from diffmpc_tpu.models import VehicleDx
+
+        dx = VehicleDx.default()
+        x_init = random_vehicle_x_init(args.batch, args.seed)
+        u_lim = None  # per-dim asymmetric bounds below
+        n, m = 4, 2
 
     q, p = dx.get_true_obj()
     cost = QuadCost(jnp.diag(q), p)
@@ -61,8 +71,15 @@ def main():
         n_state=n, n_ctrl=m, T=args.horizon, lqr_iter=args.lqr_iter,
         eps=1e-5, exit_unconverged=False,
     )
+    if u_lim is None:  # vehicle
+        import jax.numpy as _jnp
+
+        lo = _jnp.asarray([-dx.max_brake, -dx.max_steer], _jnp.float32)
+        hi = _jnp.asarray([dx.max_accel, dx.max_steer], _jnp.float32)
+    else:
+        lo, hi = -u_lim, u_lim
     xs, us, objs = jax.jit(
-        lambda x: generate_expert_data(config, cost, dx, x, -u_lim, u_lim)
+        lambda x: generate_expert_data(config, cost, dx, x, lo, hi)
     )(x_init)
     np.savez(
         args.out,

@@ -20,7 +20,7 @@ from diffmpc_tpu.models import AcrobotDx, CartpoleDx, PendulumDx, QuadrotorDx
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument(
-        "--env", choices=["pendulum", "cartpole", "quadrotor", "acrobot"],
+        "--env", choices=["pendulum", "cartpole", "quadrotor", "acrobot", "vehicle"],
         default="pendulum"
     )
     ap.add_argument("--steps", type=int, default=80)
@@ -56,8 +56,8 @@ def main():
             [[0.5, 0.5, args.theta0 / 2, 0.0, 0.0, 0.0]], jnp.float32
         )
         n, m, u_lo, u_hi = 6, 2, 0.0, dx.max_thrust
-    else:  # acrobot: balance recovery from a small tilt (dt=0.01 model —
-        # pass a longer --horizon, e.g. 40, for a 0.4 s plan)
+    elif args.env == "acrobot":  # balance recovery from a small tilt
+        # (dt=0.01 model — pass a longer --horizon, e.g. 40, for 0.4 s)
         dx = AcrobotDx.default()
         t0 = args.theta0 / 4
         x0 = jnp.asarray(
@@ -65,6 +65,14 @@ def main():
             jnp.float32,
         )
         n, m, u_lo, u_hi = 6, 1, -4.0, 4.0
+    else:  # vehicle: lane recovery from an offset at speed (theta0 = psi0)
+        from diffmpc_tpu.models import VehicleDx
+
+        dx = VehicleDx.default()
+        x0 = jnp.asarray([[0.0, 1.0, args.theta0 / 2, 5.0]], jnp.float32)
+        n, m = 4, 2
+        u_lo = jnp.asarray([-dx.max_brake, -dx.max_steer], jnp.float32)
+        u_hi = jnp.asarray([dx.max_accel, dx.max_steer], jnp.float32)
 
     q, p = dx.get_true_obj()
     cost = QuadCost(jnp.diag(q), p)

@@ -240,6 +240,16 @@ def test_control_jacobian_full_at_exact_bound_all_envs():
          jnp.asarray([[0.99, 0.14, 0.98, -0.2, 0.3, -0.2]], jnp.float32),
          4.0),
     ]
+    from diffmpc_tpu.models import VehicleDx
+
+    # vehicle: both dims at their (asymmetric) UPPER bounds via the shared
+    # scalar-bound protocol (steer=0.5 is its real edge; accel 0.5 is
+    # interior — both asymmetric accel edges are pinned in
+    # tests/test_vehicle.py::test_asymmetric_bound_jacobian_full_at_both_edges)
+    cases.append(
+        (VehicleDx.default(jnp.float32),
+         jnp.asarray([[0.0, 0.2, 0.1, 5.0]], jnp.float32), 0.5)
+    )
     for dx, x, bound in cases:
         m = dx.n_ctrl
         u_at = jnp.full((1, m), bound, jnp.float32)

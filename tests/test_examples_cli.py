@@ -19,6 +19,7 @@ ALL_EXAMPLES = [
     "il_nn_dynamics.py",
     "il_pendulum.py",
     "il_quadrotor.py",
+    "il_vehicle.py",
     "receding_mpc.py",
     "render_trajectory.py",
     "sysid_domain_rand.py",
@@ -131,6 +132,42 @@ def test_il_acrobot_runs_end_to_end_without_pythonpath(tmp_path):
     assert res.returncode == 0, res.stderr[-2000:]
     assert "final params" in res.stdout
     assert (tmp_path / "out" / "train.csv").exists()
+
+
+def test_il_vehicle_runs_end_to_end_without_pythonpath(tmp_path):
+    """The fifth env's IL driver (round 5): expert gen + one training
+    step with the asymmetric mixed box, from a clean shell."""
+    res = subprocess.run(
+        [
+            sys.executable, "il_vehicle.py", "--cpu", "--batch", "8",
+            "--horizon", "6", "--steps", "1", "--lqr-iter", "3",
+            "--ckpt-every", "0", "--out", str(tmp_path / "out"),
+        ],
+        cwd=EXAMPLES,
+        env=_clean_env(),
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "final params" in res.stdout
+
+
+def test_gen_expert_data_vehicle_without_pythonpath(tmp_path):
+    """The env-choice CLI solves with the vehicle's per-dim asymmetric
+    bounds (the other envs' scalar-bound path is covered above)."""
+    out = str(tmp_path / "veh.npz")
+    res = subprocess.run(
+        [
+            sys.executable, "gen_expert_data.py", "--cpu", "--env",
+            "vehicle", "--batch", "4", "--horizon", "6", "--lqr-iter",
+            "2", "--out", out,
+        ],
+        cwd=EXAMPLES, env=_clean_env(), capture_output=True, text=True,
+        timeout=600,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert os.path.exists(out)
 
 
 def test_gen_expert_data_acrobot_without_pythonpath(tmp_path):

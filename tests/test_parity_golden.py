@@ -198,11 +198,27 @@ def _acrobot_golden_case():
     return AcrobotDx.default(jnp.float64), x, 6, 1, 40, (-4.0, 4.0)
 
 
+def _vehicle_golden_case():
+    from diffmpc_tpu.models import VehicleDx
+
+    rng = np.random.default_rng(882)
+    x = np.stack(
+        [np.zeros(16), rng.uniform(-1.0, 1.0, 16),
+         rng.uniform(-0.3, 0.3, 16), rng.uniform(3.0, 7.0, 16)], -1,
+    )
+    # asymmetric mixed box: accel [-6, 3], steer [-0.5, 0.5]
+    return (
+        VehicleDx.default(jnp.float64), x, 4, 2, 20,
+        (np.array([-6.0, -0.5]), np.array([3.0, 0.5])),
+    )
+
+
 GOLDEN_ENV_CASES = {
     "pendulum_T20B16_f64": _pendulum_golden_case,
     "cartpole_T20B16_f64": _cartpole_golden_case,
     "quadrotor_T20B16_f64": _quadrotor_golden_case,
     "acrobot_T40B16_f64": _acrobot_golden_case,
+    "vehicle_T20B16_f64": _vehicle_golden_case,
 }
 
 
