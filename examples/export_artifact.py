@@ -25,13 +25,38 @@ import numpy as np
 import common  # noqa: F401,E402 — sys.path bootstrap (run from a clean shell)
 from diffmpc_tpu import MPCConfig, QuadCost
 from diffmpc_tpu.aot import export_solve, load_solve
-from diffmpc_tpu.models import CartpoleDx, PendulumDx
+from diffmpc_tpu.models import (
+    AcrobotDx, CartpoleDx, PendulumDx, QuadrotorDx, VehicleDx,
+)
 
-from common import random_cartpole_x_init, random_pendulum_x_init
+from common import (
+    random_acrobot_x_init,
+    random_cartpole_x_init,
+    random_pendulum_x_init,
+    random_vehicle_x_init,
+)
 
+
+def random_quadrotor_x_init(B, seed=0, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(
+        np.stack([rng.uniform(-0.5, 0.5, B), rng.uniform(-0.5, 0.5, B),
+                  rng.uniform(-0.2, 0.2, B), rng.uniform(-0.2, 0.2, B),
+                  rng.uniform(-0.2, 0.2, B), rng.uniform(-0.2, 0.2, B)],
+                 -1), dtype)
+
+
+# name -> (cls, n, m, (lo, hi) scalars or per-dim lists, x_init generator)
 ENVS = {
     "pendulum": (PendulumDx, 3, 1, (-2.0, 2.0), random_pendulum_x_init),
     "cartpole": (CartpoleDx, 5, 1, (-10.0, 10.0), random_cartpole_x_init),
+    "quadrotor": (QuadrotorDx, 6, 2, (0.0, 5.0), random_quadrotor_x_init),
+    "acrobot": (AcrobotDx, 6, 1, (-4.0, 4.0), random_acrobot_x_init),
+    "vehicle": (
+        VehicleDx, 4, 2,
+        ([-6.0, -0.5], [3.0, 0.5]),  # asymmetric mixed box
+        random_vehicle_x_init,
+    ),
 }
 
 
@@ -39,6 +64,9 @@ def build(args):
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     cls, n, m, (lo, hi), _ = ENVS[args.env]
+    if isinstance(lo, list):
+        lo = jnp.asarray(lo, jnp.float32)
+        hi = jnp.asarray(hi, jnp.float32)
     dx = cls.default(jnp.float32)
     q, p = dx.get_true_obj()
     cost = QuadCost(jnp.diag(q), p)
@@ -96,9 +124,23 @@ def run(args):
     )
     x_aval = exp.in_avals[0]
     B, n = x_aval.shape
-    # env inferred from the state dim for input generation only — the
-    # solve itself is entirely inside the artifact
-    gen = {3: random_pendulum_x_init, 5: random_cartpole_x_init}.get(n)
+    # Input generation only — the solve itself is entirely inside the
+    # artifact. The manifest's dynamics class name picks the generator
+    # (n_state alone is ambiguous: quadrotor and acrobot are both n=6);
+    # pre-manifest blobs fall back to the n_state map where unambiguous.
+    by_name = {
+        "PendulumDx": random_pendulum_x_init,
+        "CartpoleDx": random_cartpole_x_init,
+        "QuadrotorDx": random_quadrotor_x_init,
+        "AcrobotDx": random_acrobot_x_init,
+        "VehicleDx": random_vehicle_x_init,
+    }
+    gen = None
+    if solve.manifest is not None:
+        gen = by_name.get(solve.manifest.get("dynamics", ""))
+    if gen is None:
+        gen = {3: random_pendulum_x_init, 4: random_vehicle_x_init,
+               5: random_cartpole_x_init}.get(n)
     if gen is None:
         raise SystemExit(f"no input generator for n_state={n}")
     x = gen(B, args.seed, jnp.float32)
