@@ -23,15 +23,20 @@ import numpy as np
 
 import common  # noqa: F401,E402 — sys.path bootstrap (run from a clean shell)
 from diffmpc_tpu import MPCConfig, QuadCost
-from diffmpc_tpu.models import PendulumDx
+from diffmpc_tpu.models import PendulumDx, VehicleDx
 from diffmpc_tpu.receding import run_receding_horizon
 from diffmpc_tpu.utils.logging import CSVLogger, table_log
 
-from common import random_pendulum_x_init
+from common import random_pendulum_x_init, random_vehicle_x_init
 
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument(
+        "--env", choices=["pendulum", "vehicle"], default="pendulum",
+        help="pendulum swing-up, or vehicle lane keeping (the industrial "
+        "closed-loop shape; plant error perturbs (L, c_d))",
+    )
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--horizon", type=int, default=20)
     ap.add_argument("--env-steps", type=int, default=100)
@@ -54,11 +59,21 @@ def main():
 
     dtype = jnp.float32
     T, B = args.horizon, args.batch
-    model = PendulumDx.default(dtype)  # what the controller plans with
+    if args.env == "pendulum":
+        model = PendulumDx.default(dtype)  # what the controller plans with
+        n, m = 3, 1
+        u_lo, u_hi = -2.0, 2.0
+        x0 = random_pendulum_x_init(B, args.seed, dtype)
+    else:  # vehicle lane keeping
+        model = VehicleDx.default(dtype)
+        n, m = 4, 2
+        u_lo = jnp.asarray([-model.max_brake, -model.max_steer], dtype)
+        u_hi = jnp.asarray([model.max_accel, model.max_steer], dtype)
+        x0 = random_vehicle_x_init(B, args.seed, dtype)
     q, p = model.get_true_obj()
     cost = QuadCost(jnp.diag(q), p)
     config = MPCConfig(
-        n_state=3, n_ctrl=1, T=T, lqr_iter=args.lqr_iter, eps=1e-5,
+        n_state=n, n_ctrl=m, T=T, lqr_iter=args.lqr_iter, eps=1e-5,
         exit_unconverged=False, detach_unconverged=False, backprop=False,
         slew_rate_penalty=args.slew if args.slew > 0 else None, dtype=dtype,
     )
@@ -68,23 +83,22 @@ def main():
     rng = np.random.default_rng(args.seed + 1)
     plant_params = jnp.asarray(
         np.asarray(model.params)
-        * (1.0 + args.plant_param_error * rng.uniform(-1.0, 1.0, 3)),
+        * (1.0 + args.plant_param_error
+           * rng.uniform(-1.0, 1.0, np.asarray(model.params).shape[0])),
         dtype,
     )
     plant = model.replace(params=plant_params)
-
-    x0 = random_pendulum_x_init(B, args.seed, dtype)
 
     @jax.jit
     def episode(x_init):
         return run_receding_horizon(
             config, x_init, cost, model, args.env_steps,
             env_step=lambda x, u: plant.forward(x, u),
-            u_lower=-2.0, u_upper=2.0,
+            u_lower=u_lo, u_upper=u_hi,
         )
 
     print(
-        f"closed-loop pendulum swing-up: B={B}, T={T}, "
+        f"closed-loop {args.env}: B={B}, T={T}, "
         f"{args.env_steps} env steps, plant error ±{args.plant_param_error:.0%}"
     )
     t0 = time.time()
@@ -94,18 +108,25 @@ def main():
     xs, us, objs = jax.block_until_ready(episode(x0))
     t_warm = time.time() - t0
 
-    # Success = upright and slow at the end of the episode: state is
-    # (cos th, sin th, thdot) with the goal at (1, 0, 0).
     xs = np.asarray(xs)
-    upright = (xs[-1, :, 0] > 0.95) & (np.abs(xs[-1, :, 2]) < 1.0)
+    if args.env == "pendulum":
+        # Success = upright and slow at the end: state (cos th, sin th,
+        # thdot), goal (1, 0, 0).
+        upright = (xs[-1, :, 0] > 0.95) & (np.abs(xs[-1, :, 2]) < 1.0)
+        goal = np.array([1.0, 0.0, 0.0])
+    else:
+        # Success = in lane, straight, near the reference speed at the
+        # end: state (px, py, psi, v), goal (*, 0, 0, v_ref).
+        upright = (
+            (np.abs(xs[-1, :, 1]) < 0.1)
+            & (np.abs(xs[-1, :, 2]) < 0.1)
+            & (np.abs(xs[-1, :, 3] - model.v_ref) < 1.0)
+        )
+        goal = np.array([0.0, 0.0, 0.0, model.v_ref])
     # Stage cost of the CLOSED-LOOP trajectory under the nominal objective
     # (what the controller is actually judged on, mismatch included).
-    goal_w = np.asarray(q)[:3]
-    stage = (
-        goal_w[0] * (xs[:-1, :, 0] - 1.0) ** 2
-        + goal_w[1] * xs[:-1, :, 1] ** 2
-        + goal_w[2] * xs[:-1, :, 2] ** 2
-    )
+    goal_w = np.asarray(q)[:n]
+    stage = (goal_w * (xs[:-1] - goal) ** 2).sum(-1)
     du = np.abs(np.diff(np.asarray(us)[:, :, 0], axis=0))
     table_log(
         "receding_mpc",
