@@ -530,20 +530,27 @@ def main():
                 jnp.float32,
             )
 
+            # Fetch-drained like the riccati row (CLAUDE.md async-dispatch
+            # trap — this ~1.6 ms/dispatch program is in the short-program
+            # regime where hot-loop block_until_ready can read enqueue
+            # cost); the scalar fetch adds ~RTT/8 per dispatch (~2-4%).
+            # This row is NEW in r5, so the protocol carries no history
+            # burden; the older short-program rows keep their 5-round
+            # protocol for comparability, double-checked by the bands.
             @jax.jit
             def solve_vd(x):
                 sol = mpc_solve(
                     config_vd, x, cost_vd, vd, u_lower=lo_vd, u_upper=hi_vd
                 )
-                return sol.objs
+                return jnp.sum(sol.objs)
 
-            jax.block_until_ready(solve_vd(xv))
+            float(solve_vd(xv))
 
             def _t_vd():
                 t0 = time.perf_counter()
                 for _ in range(8):
                     r = solve_vd(xv)
-                jax.block_until_ready(r)
+                float(r)  # guaranteed drain
                 return time.perf_counter() - t0
 
             details["vehicle_solves_per_s_T20_B1024"] = round(

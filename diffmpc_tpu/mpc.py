@@ -238,7 +238,16 @@ def _would_use_fused(config, B, dx, *, is_quad, constrained, is_lin):
     from .ops.pallas.riccati import ilqr_scratch_bytes, fits_vmem
 
     n, m = config.n_state, config.n_ctrl
-    return fits_vmem(config.T, n, m, extra=ilqr_scratch_bytes(config.T, n, m))
+    extra = ilqr_scratch_bytes(config.T, n, m)
+    if os.environ.get("DIFFMPC_HOIST_LIN", "") == "1":
+        # gate/pick/lift must share one footprint estimate (the
+        # rollout_scratch_bytes invariant): the hoisted pre-pass adds F/cd
+        # scratch the plain estimate does not know about
+        from .ops.pallas.ilqr import hoist_lin_extra_bytes
+        from .ops.pallas.riccati import TILE_B
+
+        extra += hoist_lin_extra_bytes(config.T, n, m, TILE_B)
+    return fits_vmem(config.T, n, m, extra=extra)
 
 
 def _check_param_batch(dx, B):

@@ -48,7 +48,16 @@ from .riccati import (
 )
 
 
-def _pick_sublane(B: int, T: int, n: int, m: int) -> int:
+def hoist_lin_extra_bytes(T: int, n: int, m: int, tile_b: int) -> int:
+    """Extra per-tile VMEM of the hoisted-linearization pre-pass (F and
+    cd scratch). ONE copy of the estimate shared by the dispatch gate
+    (mpc._would_use_fused), the tile-height auto-pick, and the Mosaic
+    window lift — the gate/pick/lift trio must never desynchronize
+    (the rollout_scratch_bytes invariant, round-5 review finding)."""
+    return T * (n * (n + m) + (n + m)) * 4 * tile_b
+
+
+def _pick_sublane(B: int, T: int, n: int, m: int, hoist_lin: bool = False) -> int:
     """Mega-kernel tile-height auto-upgrade (round 3). At the default
     height every entry-op is ONE (8,128) vreg over 1024 scenarios and the
     kernel is issue/overhead-bound (~30% of the solve-level VPU bound,
@@ -59,7 +68,11 @@ def _pick_sublane(B: int, T: int, n: int, m: int) -> int:
     B=8192 1.15x for 32 over 16."""
     from .riccati import ilqr_vmem_bytes, pick_tile_sublane
 
-    return pick_tile_sublane(B, lambda tb: ilqr_vmem_bytes(T, n, m, tb))
+    def est(tb):
+        extra = hoist_lin_extra_bytes(T, n, m, tb) if hoist_lin else 0
+        return ilqr_vmem_bytes(T, n, m, tb) + extra
+
+    return pick_tile_sublane(B, est)
 
 
 class FusedSolveResult(NamedTuple):
@@ -474,7 +487,7 @@ def ilqr_solve_fused(
     m = nm - n
     dtype = x_init.dtype
 
-    sublane = _pick_sublane(B, T, n, m)
+    sublane = _pick_sublane(B, T, n, m, hoist_lin=hoist_lin)
     tile_b = sublane * LANE
 
     orig_B = B
@@ -558,7 +571,7 @@ def ilqr_solve_fused(
             pltpu.VMEM((T, n, nm, sublane, LANE), jnp.float32),  # F
             pltpu.VMEM((T, nm, sublane, LANE), jnp.float32),  # cd
         ]
-        hoist_extra = T * (n * nm + nm) * 4 * tile_b
+        hoist_extra = hoist_lin_extra_bytes(T, n, m, tile_b)
 
     kernel = _make_kernel(
         T, n, m, lqr_iter, pnqp_iter, reg, decay, max_linesearch_iter,

@@ -56,8 +56,6 @@ def main():
         u_lim = 4.0
         n, m = 6, 1
     else:  # vehicle: lane-keeping experts, asymmetric mixed box
-        import jax.numpy as _jnp
-
         from diffmpc_tpu.models import VehicleDx
 
         dx = VehicleDx.default()
@@ -72,10 +70,8 @@ def main():
         eps=1e-5, exit_unconverged=False,
     )
     if u_lim is None:  # vehicle
-        import jax.numpy as _jnp
-
-        lo = _jnp.asarray([-dx.max_brake, -dx.max_steer], _jnp.float32)
-        hi = _jnp.asarray([dx.max_accel, dx.max_steer], _jnp.float32)
+        lo = jnp.asarray([-dx.max_brake, -dx.max_steer], jnp.float32)
+        hi = jnp.asarray([dx.max_accel, dx.max_steer], jnp.float32)
     else:
         lo, hi = -u_lim, u_lim
     xs, us, objs = jax.jit(

@@ -127,7 +127,8 @@ def main():
     # (what the controller is actually judged on, mismatch included).
     goal_w = np.asarray(q)[:n]
     stage = (goal_w * (xs[:-1] - goal) ** 2).sum(-1)
-    du = np.abs(np.diff(np.asarray(us)[:, :, 0], axis=0))
+    # slew over ALL control dims (steering matters for the vehicle)
+    du = np.abs(np.diff(np.asarray(us), axis=0))
     table_log(
         "receding_mpc",
         (

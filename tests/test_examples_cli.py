@@ -113,6 +113,39 @@ def test_export_artifact_build_then_run_without_pythonpath(tmp_path):
     assert "solves/s" in res.stdout
 
 
+def test_export_artifact_vehicle_zoo_coverage(tmp_path):
+    """Round-5 CLI additions: the per-dim asymmetric-bounds branch (build)
+    and the manifest-dynamics-name generator selection (run) — the
+    pendulum test above exercises neither."""
+    art = str(tmp_path / "veh.bin")
+    res = subprocess.run(
+        [
+            sys.executable, "export_artifact.py", "build", "--cpu",
+            "--env", "vehicle", "--batch", "8", "--horizon", "6",
+            "--lqr-iter", "2", "--out", art,
+        ],
+        cwd=EXAMPLES, env=_clean_env(), capture_output=True, text=True,
+        timeout=600,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    res = subprocess.run(
+        [sys.executable, "export_artifact.py", "run", art, "--cpu",
+         "--reps", "2"],
+        cwd=EXAMPLES, env=_clean_env(), capture_output=True, text=True,
+        timeout=600,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "solves/s" in res.stdout
+    res = subprocess.run(
+        [sys.executable, "export_artifact.py", "inspect", art],
+        cwd=EXAMPLES, env=_clean_env(), capture_output=True, text=True,
+        timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert '"dynamics": "VehicleDx"' in res.stdout
+    assert '"u_lower"' in res.stdout  # per-dim bounds recorded
+
+
 def test_il_acrobot_runs_end_to_end_without_pythonpath(tmp_path):
     """The fourth env's IL driver (VERDICT r4 #9): expert gen + one
     training step through the KKT backward on the configuration-dependent
