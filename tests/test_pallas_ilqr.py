@@ -386,7 +386,7 @@ def test_wide_tile_auto_upgrade_matches_default():
     import diffmpc_tpu.ops.pallas.ilqr as ilqr_mod
 
     orig = ilqr_mod._pick_sublane
-    ilqr_mod._pick_sublane = lambda *a: 8
+    ilqr_mod._pick_sublane = lambda *a, **k: 8
     try:
         base = ilqr_solve_fused(x_init, C, c, dx, lo, hi, **kw)
     finally:
