@@ -53,8 +53,8 @@ def test_wide_tile_pick_sees_local_batch_under_shard_map():
     seen = []
     orig = ilqr_mod._pick_sublane
 
-    def recording(B, T, n, m):
-        h = orig(B, T, n, m)
+    def recording(B, T, n, m, **kw):
+        h = orig(B, T, n, m, **kw)
         seen.append((B, h))
         return h
 
