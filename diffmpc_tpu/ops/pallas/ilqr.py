@@ -225,7 +225,11 @@ def _make_kernel(
                     + sum(C_ref[0, t, a, b] * tau[b] for b in range(nm))
                     for a in range(nm)
                 ]
-                return Ft, cd
+                # uh returned so the in-sweep caller reuses these reads —
+                # keeps the hoist_lin=False program BYTE-IDENTICAL to the
+                # pre-refactor kernel (ref reads are stateful and not
+                # CSE'd; a duplicate read changes the Mosaic program)
+                return Ft, cd, uh
 
             if hoist_lin:
                 # V-independent pre-pass (experiment, round 5): the
@@ -234,7 +238,7 @@ def _make_kernel(
                 # a loop whose iterations are INDEPENDENT removes them
                 # from the serial dependency chain at zero extra flops.
                 def pre_body(t, _):
-                    Ft, cd = linearize_at(t)
+                    Ft, cd, _uh = linearize_at(t)
                     for k in range(n):
                         for j in range(nm):
                             F_s[t, k, j] = Ft[k][j]
@@ -249,15 +253,15 @@ def _make_kernel(
                 V = [[Vv[a * n + b] for b in range(n)] for a in range(n)]
                 v = [Vv[n * n + a] for a in range(n)]
                 qp_sum = Vv[n * n + n]
-                uh = [uh_s[t, a] for a in range(m)]
 
                 if hoist_lin:
+                    uh = [uh_s[t, a] for a in range(m)]
                     Ft = [
                         [F_s[t, k, j] for j in range(nm)] for k in range(n)
                     ]
                     cd = [cd_s[t, a] for a in range(nm)]
                 else:
-                    Ft, cd = linearize_at(t)
+                    Ft, cd, uh = linearize_at(t)
 
                 # Q = C + F' V F ; q = cd + F' v
                 W = [
